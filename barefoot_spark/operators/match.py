@@ -1,0 +1,461 @@
+"""HMM map matching: per-trace Viterbi kernel as an applyInPandas group op.
+
+Re-implements the semantics of barefoot's matcher stack —
+candidate search + emission (matcher/Matcher.java:185-238), Minset
+pruning (matcher/Minset.java:71-114), per-predecessor shortest-path
+transitions (matcher/Matcher.java:248-351), edge-based Dijkstra
+(topology/Dijkstra.java:90-295), HMM forward step
+(markov/Filter.java:114-244), and KState estimate/backtrack
+(markov/KState.java:177-301) — as one numpy kernel executed per trace
+group inside ``df.groupBy("trace_id").applyInPandas``.
+
+Spark-first shape (the reference's own Spark recipe, wiki/Home.md:716-770,
+modernized): the road index is a broadcast variable, traces are the
+shuffle key, and all per-trace math is numpy over Arrow batches. Batch
+work that spans samples (radius search, emission) is vectorized over the
+whole trace at once; only the inherently sequential forward recursion
+iterates per time step.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from .. import geo
+from ..index import RoadIndex
+
+MATCH_SCHEMA = StructType([
+    StructField("trace_id", StringType()),
+    StructField("seq", IntegerType()),
+    StructField("sample_id", StringType()),
+    StructField("time", LongType()),
+    StructField("edge_id", LongType()),
+    StructField("fraction", DoubleType()),
+    StructField("lat", DoubleType()),
+    StructField("lon", DoubleType()),
+    StructField("azimuth", DoubleType()),
+    StructField("route_edges", ArrayType(LongType())),
+    StructField("route_length", DoubleType()),
+    StructField("filtprob", DoubleType()),
+    StructField("seqprob", DoubleType()),
+])
+
+
+@dataclass
+class MatcherParams:
+    """Defaults mirror matcher/Matcher.java:62-68 and
+    config/server.properties:5-10."""
+    sigma: float = 10.0
+    sigma_a: float = 10.0          # azimuth gaussian (Matcher.java:65)
+    lam: float = 0.0               # 0 => adaptive beta (Matcher.java:323-327)
+    max_radius: float = 200.0
+    max_distance: float = 15000.0  # route bound meters (Matcher.java:67)
+    shorten_turns: bool = True
+    min_distance: float = 0.0      # thinning (Matcher.java:376-380)
+    min_interval_ms: int = 0
+    routing_cost: str = "time"     # MatcherTest routes with Time cost
+
+
+# ---------------------------------------------------------------------------
+# Edge-based Dijkstra (topology/Dijkstra.java:90-295 semantics)
+# ---------------------------------------------------------------------------
+
+def route_ssmt(idx: RoadIndex, src, targets, cost_vec, bound_vec=None, bound_max=None):
+    """Single-source multi-target shortest path over directed edges.
+
+    src: (edge_idx, fraction); targets: sequence of (edge_idx, fraction).
+    Costs accrue per whole edge, with fractional start/end adjustment
+    exactly like the reference: startcost = c(e_src)*(1-f_src); reaching
+    a target on edge e with fraction f costs ``path_cost - c(e)*(1-f)``
+    (Dijkstra.java:152-163,243-258). Edges enter the queue once at first
+    discovery (Dijkstra.java:262-268) — optimal because edge cost is
+    parent-independent. The bound cost breaks the whole search when the
+    popped mark's bound exceeds bound_max (Dijkstra.java:205-208).
+
+    Returns {target_pos: [edge_idx path] or None}.
+    """
+    se, sf = src
+    target_by_edge: dict[int, list] = {}
+    for pos, (te, tf) in enumerate(targets):
+        target_by_edge.setdefault(int(te), []).append((pos, float(tf)))
+
+    startcost = cost_vec[se] * (1.0 - sf)
+    startbound = bound_vec[se] * (1.0 - sf) if bound_vec is not None else 0.0
+
+    entries: dict[int, tuple] = {}   # edge -> (cost, bound, pred_edge)
+    finish: dict[int, tuple] = {}    # target_pos -> (edge, pred_edge)
+    heap: list = []
+    ctr = 0
+
+    # same-edge targets ahead of the source (Dijkstra.java:152-171)
+    if int(se) in target_by_edge:
+        for pos, tf in target_by_edge[int(se)]:
+            if tf < sf:
+                continue
+            reachcost = startcost - cost_vec[se] * (1.0 - tf)
+            reachbound = (startcost - bound_vec[se] * (1.0 - tf)) if bound_vec is not None else 0.0
+            heapq.heappush(heap, (reachcost, ctr, 1, pos, int(se), -1, reachbound))
+            ctr += 1
+
+    entries[int(se)] = (startcost, startbound, -1)
+    heapq.heappush(heap, (startcost, ctr, 0, -1, int(se), -1, startbound))
+    ctr += 1
+
+    pending = {pos for pos in range(len(targets))}
+
+    while heap:
+        cost, _, kind, pos, edge, pred, bnd = heapq.heappop(heap)
+        if not pending:
+            break
+        if bound_max is not None and bnd > bound_max:
+            break
+        if kind == 1:  # reach mark
+            if pos in finish or pos not in pending:
+                continue
+            finish[pos] = (edge, pred)
+            pending.discard(pos)
+            continue
+        # expand edge mark (only the first-inserted mark per edge exists)
+        s, e = idx.succ_offsets[edge], idx.succ_offsets[edge + 1]
+        for succ in idx.successors[s:e]:
+            succ = int(succ)
+            succcost = cost + cost_vec[succ]
+            succbound = bnd + bound_vec[succ] if bound_vec is not None else 0.0
+            if succ in target_by_edge:
+                for tpos, tf in target_by_edge[succ]:
+                    reachcost = succcost - cost_vec[succ] * (1.0 - tf)
+                    reachbound = succbound - bound_vec[succ] * (1.0 - tf) if bound_vec is not None else 0.0
+                    heapq.heappush(heap, (reachcost, ctr, 1, tpos, succ, edge, reachbound))
+                    ctr += 1
+            if succ not in entries:
+                entries[succ] = (succcost, succbound, edge)
+                heapq.heappush(heap, (succcost, ctr, 0, -1, succ, edge, succbound))
+                ctr += 1
+
+    paths: dict[int, list | None] = {}
+    for pos in range(len(targets)):
+        if pos not in finish:
+            paths[pos] = None
+            continue
+        edge, pred = finish[pos]
+        path = [edge]
+        it = pred
+        while it != -1:
+            path.append(it)
+            it = entries[it][2]
+        paths[pos] = path[::-1]
+    return paths
+
+
+def path_cost(idx: RoadIndex, path, sf, tf, cost_vec):
+    """Route cost with linear fractional endpoints (Path.cost,
+    topology/Path.java:127-137)."""
+    c = cost_vec[path[0]] * (1.0 - sf)
+    for e in path[1:]:
+        c += cost_vec[e]
+    c -= cost_vec[path[-1]] * (1.0 - tf)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Minset (matcher/Minset.java:71-114)
+# ---------------------------------------------------------------------------
+
+_PRECISION = 1e-8
+
+
+def _round(f):
+    return np.round(f / _PRECISION) * _PRECISION
+
+
+def minset(idx: RoadIndex, eidx: np.ndarray, frac: np.ndarray):
+    """Remove semantically redundant candidates: drop fraction≈0 points
+    reachable from an in-set candidate, and fraction≈1 points none of
+    whose successors are missing from the set."""
+    order = np.argsort(eidx)
+    eidx, frac = eidx[order], frac[order]
+    n = len(eidx)
+    removed = np.zeros(n, dtype=bool)
+    misses = np.zeros(n, dtype=np.int64)
+    rf = _round(frac)
+
+    for i in range(n):
+        s, e = idx.succ_offsets[eidx[i]], idx.succ_offsets[eidx[i] + 1]
+        succs = idx.successors[s:e]
+        pos = np.searchsorted(eidx, succs)
+        pos_c = np.minimum(pos, n - 1)
+        in_set = (pos < n) & (eidx[pos_c] == succs)
+        misses[i] += int((~in_set).sum())
+        hit = pos_c[in_set]
+        zero = rf[hit] == 0.0
+        removed[hit[zero]] = True
+        misses[i] += int(zero.sum())
+
+    ones = (rf == 1.0) & ~removed & (misses == 0)
+    removed |= ones
+    keep = ~removed
+    return eidx[keep], frac[keep]
+
+
+# ---------------------------------------------------------------------------
+# Per-trace matcher (offline mmatch, Matcher.java:366-387)
+# ---------------------------------------------------------------------------
+
+class _Cand:
+    __slots__ = ("eidx", "frac", "lat", "lon", "azi", "filtprob", "seqprob",
+                 "pred", "route", "route_len")
+
+    def __init__(self, eidx, frac, lat, lon, azi):
+        self.eidx = int(eidx)
+        self.frac = float(frac)
+        self.lat = float(lat)
+        self.lon = float(lon)
+        self.azi = float(azi)
+        self.filtprob = 0.0
+        self.seqprob = -np.inf
+        self.pred = None
+        self.route = None       # list of edge indices pred->self
+        self.route_len = None
+
+
+def _candidates_for_trace(idx: RoadIndex, lats, lons, params: MatcherParams):
+    """Vectorized radius search + Minset for every sample of a trace at
+    once. Returns per-sample list of (eidx, frac) arrays (directed)."""
+    pt, base, frac, _dist = idx.radius(lats, lons, params.max_radius)
+    spt, seidx, sfrac = idx.split(pt, base, frac)
+    out = []
+    for i in range(len(lats)):
+        sel = spt == i
+        ei, fr = minset(idx, seidx[sel], sfrac[sel])
+        out.append((ei, fr))
+    return out
+
+
+def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
+                azimuths, params: MatcherParams) -> list[tuple]:
+    """Offline match of one trace; returns MATCH_SCHEMA rows."""
+    order = np.argsort(times_ms, kind="stable")
+    sample_ids = np.asarray(sample_ids)[order]
+    times_ms = np.asarray(times_ms, dtype=np.int64)[order]
+    lats = np.asarray(lats, dtype=np.float64)[order]
+    lons = np.asarray(lons, dtype=np.float64)[order]
+    azimuths = np.asarray(azimuths, dtype=np.float64)[order]
+
+    cost_vec = idx.cost_vector(params.routing_cost)
+    bound_vec = idx.cost_dist
+    tp_vec = idx.cost_timeprio
+    sig2 = params.sigma ** 2
+    sqrt_2pi_sig2 = np.sqrt(2 * np.pi * sig2)
+    sigA2 = params.sigma_a ** 2
+    sqrt_2pi_sigA = np.sqrt(2 * np.pi * sigA2)
+
+    # thinning (Matcher.java:376-380) needs the last *kept* sample, so the
+    # kept set is decided sequentially; radius search runs vectorized on
+    # the kept samples afterwards.
+    kept = []
+    last_t, last_lat, last_lon = None, None, None
+    for i in range(len(times_ms)):
+        if last_t is not None:
+            d = float(geo.distance(lats[i], lons[i], last_lat, last_lon))
+            if d < max(0.0, params.min_distance) or \
+                    (times_ms[i] - last_t) < max(0, params.min_interval_ms):
+                continue
+        kept.append(i)
+        last_t, last_lat, last_lon = times_ms[i], lats[i], lons[i]
+    if not kept:
+        return []
+    kept = np.array(kept)
+    k_ids, k_t = sample_ids[kept], times_ms[kept]
+    k_lat, k_lon, k_azi = lats[kept], lons[kept], azimuths[kept]
+
+    cand_sets = _candidates_for_trace(idx, k_lat, k_lon, params)
+
+    sequence: list[tuple[list[_Cand], int]] = []  # (vector, step)
+    prev_vector: list[_Cand] = []
+    prev_time = None
+
+    for step in range(len(kept)):
+        ei, fr = cand_sets[step]
+        # predecessor position carry-over (Matcher.java:200-213)
+        ei = np.asarray(ei, dtype=np.int64)
+        fr = np.asarray(fr, dtype=np.float64)
+        if prev_vector:
+            pos_of = {int(e): j for j, e in enumerate(ei)}
+            for p in prev_vector:
+                j = pos_of.get(p.eidx)
+                if j is None:
+                    continue
+                plat, plon, _ = idx.edge_point(np.array([p.eidx]), np.array([fr[j]]))
+                d = float(geo.distance(plat[0], plon[0], p.lat, p.lon))
+                fwd = bool(idx.edge_forward[p.eidx])
+                if d < params.sigma and ((fwd and fr[j] < p.frac)
+                                         or (not fwd and fr[j] > p.frac)):
+                    fr[j] = p.frac
+        if len(ei):
+            clat, clon, cazi = idx.edge_point(ei, fr)
+            dz = geo.distance(k_lat[step], k_lon[step], clat, clon)
+            emission = 1 / sqrt_2pi_sig2 * np.exp(-dz * dz / (2 * sig2))
+            if not np.isnan(k_azi[step]):
+                da = np.abs(k_azi[step] - cazi)
+                da = np.minimum(da, 360.0 - da)
+                emission = emission * np.maximum(
+                    1e-2, 1 / sqrt_2pi_sigA * np.exp(-da * da / (2 * sigA2)))
+        else:
+            clat = clon = cazi = emission = np.zeros(0)
+
+        cands = [_Cand(ei[j], fr[j], clat[j], clon[j], cazi[j]) for j in range(len(ei))]
+
+        # ------ transitions + forward step (Filter.execute) ------
+        result: list[_Cand] = []
+        normsum = 0.0
+        if prev_vector and cands:
+            dt_ms = int(k_t[step] - prev_time)
+            bound = max(1000.0, min(params.max_distance, (dt_ms // 1000) * 100.0))
+            beta = max(1.0, float(dt_ms)) / 1000.0 if params.lam == 0 else 1.0 / params.lam
+            targets = [(c.eidx, c.frac) for c in cands]
+            trans = np.zeros((len(prev_vector), len(cands)))
+            routes: list[list] = [[None] * len(cands) for _ in prev_vector]
+            rlens = np.zeros((len(prev_vector), len(cands)))
+            for pi, p in enumerate(prev_vector):
+                paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
+                                   bound_vec, bound)
+                for ci, c in enumerate(cands):
+                    path = paths[ci]
+                    if path is None:
+                        continue
+                    sf, tf = p.frac, c.frac
+                    # shorten-turns rewrite (Matcher.java:298-321)
+                    if params.shorten_turns and len(path) >= 2 and \
+                            idx.edge_base[path[0]] == idx.edge_base[path[1]] and \
+                            path[0] != path[1]:
+                        if len(path) > 2:
+                            sf = 1.0 - sf
+                            path = path[1:]
+                        else:
+                            if sf < 1.0 - tf:
+                                tf = min(1.0, 1.0 - tf + 5.0 / idx.edge_len[path[0]])
+                                path = path[:1]
+                            else:
+                                sf = max(0.0, 1.0 - sf - 5.0 / idx.edge_len[path[1]])
+                                path = path[1:]
+                    cost_tp = path_cost(idx, path, sf, tf, tp_vec)
+                    trans[pi, ci] = (1.0 / beta) * np.exp(-cost_tp / beta)
+                    routes[pi][ci] = path
+                    rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_vec)
+
+            filt_prev = np.array([p.filtprob for p in prev_vector])
+            seq_prev = np.array([p.seqprob for p in prev_vector])
+            for ci, c in enumerate(cands):
+                t_col = trans[:, ci]
+                ok = t_col > 0
+                if not ok.any():
+                    continue
+                filt = float((t_col[ok] * filt_prev[ok]).sum())
+                if filt == 0:
+                    continue
+                log_e = float(np.log10(emission[ci])) if emission[ci] > 0 else -np.inf
+                with np.errstate(divide="ignore"):
+                    seq_arr = np.where(
+                        ok, seq_prev + np.log10(np.where(ok, t_col, 1.0)) + log_e,
+                        -np.inf)
+                best = int(np.argmax(seq_arr))
+                c.filtprob = filt * emission[ci]
+                c.seqprob = float(seq_arr[best])
+                c.pred = prev_vector[best]
+                c.route = routes[best][ci]
+                c.route_len = float(rlens[best, ci])
+                result.append(c)
+                normsum += c.filtprob
+
+        # HMM break / initial seeding (Filter.java:207-232)
+        if not result:
+            for ci, c in enumerate(cands):
+                if emission[ci] == 0:
+                    continue
+                c.filtprob = float(emission[ci])
+                c.seqprob = float(np.log10(emission[ci]))
+                c.pred = None
+                c.route = None
+                result.append(c)
+                normsum += c.filtprob
+
+        if result:
+            for c in result:
+                c.filtprob /= normsum
+            # KState.update: break candidates chain to previous estimate
+            # (KState.java:186-189)
+            if prev_vector:
+                prev_est = max(prev_vector,
+                               key=lambda p: (p.filtprob, -p.eidx, -p.frac))
+                for c in result:
+                    if c.pred is None:
+                        c.pred = prev_est
+            sequence.append((result, step))
+            prev_vector = result
+            prev_time = k_t[step]
+        # empty vector: sample dropped (KState.java:178-180), prev kept
+
+    if not sequence:
+        return []
+
+    # estimate + backtrack (KState.java:265-301)
+    last_vec = sequence[-1][0]
+    est = max(last_vec, key=lambda c: (c.filtprob, -c.eidx, -c.frac))
+    chain = []
+    it = est
+    for _ in range(len(sequence)):
+        if it is None:
+            break
+        chain.append(it)
+        it = it.pred
+    chain = chain[::-1]
+
+    rows = []
+    offset = len(sequence) - len(chain)
+    for j, c in enumerate(chain):
+        vec, step = sequence[offset + j]
+        route_eids = [int(idx.edge_id[e]) for e in c.route] if c.route else []
+        rows.append((str(trace_id), int(step), str(k_ids[step]), int(k_t[step]),
+                     int(idx.edge_id[c.eidx]), float(c.frac), float(c.lat),
+                     float(c.lon), float(c.azi), route_eids,
+                     float(c.route_len) if c.route_len is not None else 0.0,
+                     float(c.filtprob), float(c.seqprob)))
+    return rows
+
+
+def match_traces(samples: DataFrame, idx_bc, params: MatcherParams | None = None,
+                 num_partitions: int | None = None) -> DataFrame:
+    """samples(trace_id, sample_id, time, lat, lon[, azimuth]) ->
+    matched rows. idx_bc: ``sc.broadcast(RoadIndex)``.
+
+    Scale notes: the only shuffle is the groupBy(trace_id); salt upstream
+    if trace sizes are skewed (SURVEY.md §4). The index rides the
+    broadcast, never the shuffle.
+    """
+    params = params or MatcherParams()
+    if "azimuth" not in samples.columns:
+        samples = samples.withColumn("azimuth", F.lit(float("nan")))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = idx_bc.value
+        rows = []
+        for tid, g in pdf.groupby("trace_id", sort=False):
+            rows.extend(match_trace(
+                idx, tid, g["sample_id"].to_numpy(),
+                g["time"].to_numpy(np.int64),
+                g["lat"].to_numpy(np.float64), g["lon"].to_numpy(np.float64),
+                g["azimuth"].to_numpy(np.float64), params))
+        return pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA.fields])
+
+    if num_partitions:
+        samples = samples.repartition(num_partitions, "trace_id")
+    return samples.groupBy("trace_id").applyInPandas(kernel, MATCH_SCHEMA)

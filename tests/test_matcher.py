@@ -1,0 +1,196 @@
+"""Matcher parity tests replicating the reference's MatcherTest
+(src/test/java/com/bmwcarit/barefoot/matcher/MatcherTest.java:177-423)
+on the 7-road micro map: candidate refsets + emission oracle, transition
+matrix shape + probability oracle, unreachable candidates, shorten-turns
+behavior, and the golden edge sequence [0, 2, 10]."""
+
+import numpy as np
+import pytest
+
+from barefoot_spark import geo, roads
+from barefoot_spark.index import RoadIndex
+from barefoot_spark.operators import match as M
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return RoadIndex(roads.micro7_pdf(), res=15)
+
+
+def candidates(idx, lat, lon, radius, azimuth=np.nan, prev=None):
+    """Matcher.candidates analog (radius -> minset -> carry-over ->
+    emission); prev is a list of _Cand predecessors."""
+    p = M.MatcherParams(max_radius=radius)
+    pt, base, frac, _ = idx.radius(np.array([lat]), np.array([lon]), radius)
+    spt, seidx, sfrac = idx.split(pt, base, frac)
+    ei, fr = M.minset(idx, seidx, sfrac)
+    if prev:
+        pos_of = {int(e): j for j, e in enumerate(ei)}
+        for pc in prev:
+            j = pos_of.get(pc.eidx)
+            if j is None:
+                continue
+            plat, plon, _ = idx.edge_point(np.array([pc.eidx]), np.array([fr[j]]))
+            d = float(geo.distance(plat[0], plon[0], pc.lat, pc.lon))
+            fwd = bool(idx.edge_forward[pc.eidx])
+            if d < p.sigma and ((fwd and fr[j] < pc.frac) or (not fwd and fr[j] > pc.frac)):
+                fr[j] = pc.frac
+    if not len(ei):
+        return [], np.zeros(0)
+    clat, clon, cazi = idx.edge_point(ei, fr)
+    dz = geo.distance(lat, lon, clat, clon)
+    sig2 = p.sigma ** 2
+    emission = 1 / np.sqrt(2 * np.pi * sig2) * np.exp(-dz * dz / (2 * sig2))
+    cands = [M._Cand(ei[j], fr[j], clat[j], clon[j], cazi[j]) for j in range(len(ei))]
+    return cands, emission
+
+
+def eids(idx, cands):
+    return {int(idx.edge_id[c.eidx]) for c in cands}
+
+
+def emission_oracle(idx, c, lat, lon, sigma=10.0):
+    """assertCandidate analog (MatcherTest.java:121-132): recompute
+    fraction + gaussian from the directed edge geometry."""
+    base = idx.edge_base[c.eidx]
+    fwd = idx.edge_forward[c.eidx]
+    f_dir = c.frac
+    f_base = f_dir if fwd else 1.0 - f_dir
+    fr, _ = geo.polyline_intercept(idx.coords, idx.offsets,
+                                   np.array([lat]), np.array([lon]),
+                                   poly_for_point=np.array([base]))
+    f_expect = fr[0] if fwd else 1.0 - fr[0]
+    assert abs(f_dir - f_expect) < 1e-5
+    ilat, ilon = geo.polyline_interpolate(idx.coords, idx.offsets, np.array([fr[0]]),
+                                          poly_for_point=np.array([base]))
+    l = float(geo.distance(ilat[0], ilon[0], lat, lon))
+    sig2 = sigma ** 2
+    return 1 / np.sqrt(2 * np.pi * sig2) * np.exp(-l * l / (2 * sig2))
+
+
+def test_candidates_refsets(idx):
+    cands, _ = candidates(idx, 48.001, 11.001, 100)
+    assert len(cands) == 0
+
+    cands, em = candidates(idx, 48.001, 11.001, 200)
+    assert eids(idx, cands) == {0, 1}
+    for c, e in zip(cands, em):
+        assert e == pytest.approx(emission_oracle(idx, c, 48.001, 11.001), abs=1e-6)
+
+    cands, em = candidates(idx, 48.000, 11.010, 200)
+    assert eids(idx, cands) == {0, 3}
+
+    cands, em = candidates(idx, 48.001, 11.011, 200)
+    assert eids(idx, cands) == {0, 2, 3}
+    for c, e in zip(cands, em):
+        assert e == pytest.approx(emission_oracle(idx, c, 48.001, 11.011), abs=1e-6)
+
+    cands, em = candidates(idx, 48.001, 11.019, 200)
+    assert eids(idx, cands) == {2, 3, 5, 10}
+
+    cands, em = candidates(idx, 48.001, 11.011, 300)
+    assert eids(idx, cands) == {0, 2, 3, 8}
+
+
+def transition_matrix(idx, preds, cands, dt_ms, shorten=False):
+    params = M.MatcherParams(shorten_turns=shorten)
+    cost_vec = idx.cost_vector("time")
+    bound = max(1000.0, min(params.max_distance, (dt_ms // 1000) * 100.0))
+    beta = max(1.0, float(dt_ms)) / 1000.0
+    tp = idx.cost_timeprio
+    out = {}
+    for p in preds:
+        paths = M.route_ssmt(idx, (p.eidx, p.frac), [(c.eidx, c.frac) for c in cands],
+                             cost_vec, idx.cost_dist, bound)
+        row = {}
+        for ci, c in enumerate(cands):
+            if paths[ci] is None:
+                continue
+            cost_tp = M.path_cost(idx, paths[ci], p.frac, c.frac, tp)
+            row[ci] = ((1.0 / beta) * np.exp(-cost_tp / beta), paths[ci])
+        out[id(p)] = (p, row)
+    return out
+
+
+def test_transitions_2x4(idx):
+    preds, _ = candidates(idx, 48.001, 11.001, 200)
+    cands, _ = candidates(idx, 48.001, 11.019, 200)
+    assert len(preds) == 2 and len(cands) == 4
+    trans = transition_matrix(idx, preds, cands, 60000)
+    assert len(trans) == 2
+    for _, (p, row) in trans.items():
+        # MatcherTest.java:313-315: every source reaches all 4 targets
+        assert len(row) == 4
+        for ci, (prob, path) in row.items():
+            c = cands[ci]
+            # oracle: independent re-route, route endpoints match
+            assert path[0] == p.eidx and path[-1] == c.eidx
+            cost = M.path_cost(idx, path, p.frac, c.frac, idx.cost_timeprio)
+            assert prob == pytest.approx((1 / 60.0) * np.exp(-cost / 60.0), abs=1e-9)
+            assert prob > 0
+
+
+def test_transitions_reverse_unreachable(idx):
+    # MatcherTest.java:331-358: edge 10 (oneway northbound) cannot route
+    # back to the western candidates
+    preds, _ = candidates(idx, 48.001, 11.019, 200)
+    cands, _ = candidates(idx, 48.001, 11.001, 200)
+    assert len(preds) == 4 and len(cands) == 2
+    trans = transition_matrix(idx, preds, cands, 60000)
+    for _, (p, row) in trans.items():
+        if int(idx.edge_id[p.eidx]) == 10:
+            assert len(row) == 0
+        else:
+            assert len(row) == 2
+
+
+def _route_len_sum(rows):
+    return sum(r[10] for r in rows[1:])
+
+
+def _mmatch(idx, samples, shorten):
+    params = M.MatcherParams(shorten_turns=shorten)
+    ids = [str(i) for i in range(len(samples))]
+    t = [s[0] for s in samples]
+    lat = [s[1] for s in samples]
+    lon = [s[2] for s in samples]
+    return M.match_trace(idx, "t", ids, t, lat, lon, [np.nan] * len(samples), params)
+
+
+SAMPLES4 = [(0, 48.001, 11.001), (60000, 48.001, 11.011),
+            (120000, 48.001, 11.012), (180000, 48.010, 11.021)]
+
+
+def test_shorten_turns_and_golden_sequence(idx):
+    rows_full = _mmatch(idx, SAMPLES4, shorten=False)
+    full = _route_len_sum(rows_full)
+    rows_short = _mmatch(idx, SAMPLES4, shorten=True)
+    shorten = _route_len_sum(rows_short)
+    assert len(rows_full) == 4 and len(rows_short) == 4
+    assert shorten < full  # MatcherTest.java:396
+
+    # order invariance: swapping samples 1 and 2 changes nothing
+    swapped = [SAMPLES4[0], SAMPLES4[2], SAMPLES4[1], SAMPLES4[3]]
+    rows_sw = _mmatch(idx, swapped, shorten=True)
+    assert _route_len_sum(rows_sw) == pytest.approx(shorten, abs=1e-10)
+
+    # removing the second sample: golden sequence [0, 2, 10]
+    # (MatcherTest.java:414-419), same total length
+    three = [SAMPLES4[0], SAMPLES4[2], SAMPLES4[3]]
+    rows3 = _mmatch(idx, three, shorten=True)
+    assert [r[4] for r in rows3] == [0, 2, 10]
+    assert _route_len_sum(rows3) == pytest.approx(shorten, abs=1e-6)
+
+
+def test_hmm_break_reseeds(idx):
+    # second sample far off-map (no candidates): dropped; third resumes
+    samples = [(0, 48.001, 11.001), (60000, 49.5, 12.5), (120000, 48.001, 11.012)]
+    rows = _mmatch(idx, samples, shorten=True)
+    assert len(rows) == 2
+    assert rows[0][4] in (0, 1)  # on base road 0
+
+
+def test_filtprob_normalized(idx):
+    rows = _mmatch(idx, SAMPLES4, shorten=True)
+    for r in rows:
+        assert 0 < r[11] <= 1.0
