@@ -243,15 +243,20 @@ class RoadIndex:
         """Directed candidate expansion (RoadMap.Index.split,
         roadmap/RoadMap.java:81-97): every undirected hit becomes the
         forward edge (fraction f) plus, if two-way, the backward edge
-        (fraction 1-f). Returns (point_idx, edge_idx, fraction)."""
+        (fraction 1-f). Returns (point_idx, edge_idx, fraction,
+        src_pair_idx) where src_pair_idx maps each output row back to its
+        input (point, base) pair — lets callers carry per-pair values
+        (e.g. refine distance) across the split without lookups."""
         fwd_idx = self.eid_to_idx(self.gid[pair_base] * 2)
         bwd_eid = self.gid[pair_base] * 2 + 1
         bwd_idx = self.eid_to_idx(bwd_eid)
         has_bwd = bwd_idx >= 0
+        n = len(pair_pt)
         pt = np.concatenate([pair_pt, pair_pt[has_bwd]])
         eidx = np.concatenate([fwd_idx, bwd_idx[has_bwd]])
         fr = np.concatenate([frac, 1.0 - frac[has_bwd]])
-        return pt, eidx, fr
+        src = np.concatenate([np.arange(n, dtype=np.int64), np.nonzero(has_bwd)[0]])
+        return pt, eidx, fr, src
 
     def edge_point(self, eidx, frac):
         """Interpolated coordinate + azimuth for (edge, fraction) —

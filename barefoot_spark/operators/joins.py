@@ -1,0 +1,189 @@
+"""Spatial joins: radius / nearest / kNN / point-in-polygon /
+raster-tile↔vector joins as DataFrame operators.
+
+These are the engine's "joins" (SURVEY.md §2.3): theta-joins on geodesic
+distance, executed as broadcast-index probes. The big (points) side
+streams through ``mapInPandas`` in Arrow batches; each batch probes the
+broadcast ``RoadIndex`` (cell prefilter + exact geodesic refine — the
+same two-phase shape as the reference quadtree queries,
+spatial/QuadTreeIndex.java:175-262). Physically this is a broadcast hash
+join fused with its refinement filter: zero shuffle on the probe side,
+which is the only plan that survives 10^12 probe rows.
+
+``point_in_polygon`` ray-casts against broadcast polygons after a cell
+prefilter; ``raster_vector_join`` is a pure Catalyst equi-join between a
+tile table and the segment cover table on cell id.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from .. import cells, geo, wkbio
+
+
+def _hit_schema(id_field: StructField):
+    return StructType([
+        id_field,
+        StructField("edge_id", LongType()),
+        StructField("fraction", DoubleType()),
+        StructField("distance", DoubleType()),
+    ])
+
+
+def _probe_op(points: DataFrame, idx_bc, point_id: str, query_fn) -> DataFrame:
+    """Shared mapInPandas probe harness: batch in, flat hits out."""
+    id_field = points.schema[point_id]
+    schema = _hit_schema(StructField(point_id, id_field.dataType))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = idx_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lat = pdf["lat"].to_numpy(np.float64)
+            lon = pdf["lon"].to_numpy(np.float64)
+            pt, eidx, frac, dist = query_fn(idx, lat, lon)
+            yield pd.DataFrame({
+                point_id: pdf[point_id].to_numpy()[pt],
+                "edge_id": idx.edge_id[eidx],
+                "fraction": frac,
+                "distance": dist,
+            })
+
+    return points.select(point_id, "lat", "lon").mapInPandas(run, schema)
+
+
+def radius_join(points: DataFrame, idx_bc, radius_m: float,
+                point_id: str = "point_id", directed: bool = True) -> DataFrame:
+    """All (point, directed-edge, fraction) pairs within radius_m
+    (QuadTreeIndex.radius + RoadMap.Index.split semantics)."""
+    def q(idx, lat, lon):
+        pt, base, frac, dist = idx.radius(lat, lon, radius_m)
+        if directed:
+            spt, eidx, sfrac, src = idx.split(pt, base, frac)
+            return spt, eidx, sfrac, dist[src]
+        return pt, idx.eid_to_idx(idx.gid[base] * 2), frac, dist
+    return _probe_op(points, idx_bc, point_id, q)
+
+
+def nearest_join(points: DataFrame, idx_bc, point_id: str = "point_id",
+                 directed: bool = True) -> DataFrame:
+    """Nearest segment(s) per point, ties kept
+    (QuadTreeIndex.nearest)."""
+    def q(idx, lat, lon):
+        pt, base, frac, dist = idx.nearest(lat, lon)
+        if directed:
+            spt, eidx, sfrac, src = idx.split(pt, base, frac)
+            return spt, eidx, sfrac, dist[src]
+        return pt, idx.eid_to_idx(idx.gid[base] * 2), frac, dist
+    return _probe_op(points, idx_bc, point_id, q)
+
+
+def knn_join(points: DataFrame, idx_bc, k: int, point_id: str = "point_id") -> DataFrame:
+    """k nearest base segments per point (QuadTreeIndex.knearest);
+    returns forward edge ids (undirected hits)."""
+    def q(idx, lat, lon):
+        pt, base, frac, dist = idx.knearest(lat, lon, k)
+        return pt, idx.eid_to_idx(idx.gid[base] * 2), frac, dist
+    return _probe_op(points, idx_bc, point_id, q)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (ray casting; polygon predicate of
+# roadmap/RoadMap.java:272-277 re-expressed for points)
+# ---------------------------------------------------------------------------
+
+def ray_cast(lat, lon, rings) -> np.ndarray:
+    """Vectorized even-odd ray casting of points against one polygon
+    (list of rings, exterior first; holes subtract)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    inside = np.zeros(len(lat), dtype=bool)
+    for ring in rings:
+        x = ring[:, 0]
+        y = ring[:, 1]
+        x0, y0 = x[:-1], y[:-1]
+        x1, y1 = x[1:], y[1:]
+        # crossings: for each point, edges straddling its latitude
+        # (lat plays y). shape (points, edges) — batched but chunked to
+        # bound memory.
+        for s in range(0, len(lat), 65536):
+            pl = lat[s:s + 65536, None]
+            pn = lon[s:s + 65536, None]
+            straddle = (y0 > pl) != (y1 > pl)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0 + (pl - y0) / np.where(y1 == y0, 1, y1 - y0) * (x1 - x0)
+            cross = straddle & (pn < xint)
+            inside[s:s + 65536] ^= (cross.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+def point_in_polygon(points: DataFrame, polygons_bc, point_id: str = "point_id") -> DataFrame:
+    """points(lat, lon) x broadcast polygons -> (point_id, polygon_id).
+
+    polygons_bc: broadcast list of (polygon_id, rings) where rings are
+    (n,2) lon/lat arrays. Envelope prefilter per polygon, exact
+    ray-cast refine.
+    """
+    id_field = points.schema[point_id]
+    schema = StructType([StructField(point_id, id_field.dataType),
+                         StructField("polygon_id", StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        polys = polygons_bc.value
+        envs = []
+        for pid, rings in polys:
+            ext = rings[0]
+            envs.append((pid, rings, ext[:, 1].min(), ext[:, 1].max(),
+                         ext[:, 0].min(), ext[:, 0].max()))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lat = pdf["lat"].to_numpy(np.float64)
+            lon = pdf["lon"].to_numpy(np.float64)
+            ids = pdf[point_id].to_numpy()
+            out_pt, out_poly = [], []
+            for pid, rings, y0, y1, x0, x1 in envs:
+                cand = (lat >= y0) & (lat <= y1) & (lon >= x0) & (lon <= x1)
+                if not cand.any():
+                    continue
+                hit = ray_cast(lat[cand], lon[cand], rings)
+                sel = np.nonzero(cand)[0][hit]
+                out_pt.append(ids[sel])
+                out_poly.append(np.full(len(sel), pid, dtype=object))
+            if out_pt:
+                yield pd.DataFrame({point_id: np.concatenate(out_pt),
+                                    "polygon_id": np.concatenate(out_poly)})
+
+    return points.select(point_id, "lat", "lon").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# raster tile <-> vector geometry join
+# ---------------------------------------------------------------------------
+
+def segment_cells_df(spark: SparkSession, idx_bc, res: int) -> DataFrame:
+    """Cover table (edge gid, cell) from the broadcast index — the
+    vector side of the raster join. Small relative to tiles; marked
+    broadcastable."""
+    idx = idx_bc.value
+    row_idx, cell = cells.cover_polyline(idx.coords, idx.offsets, res)
+    pdf = pd.DataFrame({"gid": idx.gid[row_idx], "cell": cell})
+    return spark.createDataFrame(pdf)
+
+
+def raster_vector_join(tiles: DataFrame, seg_cells: DataFrame,
+                       cell_col: str = "cell") -> DataFrame:
+    """Equi-join image tiles to road segments sharing a cell — pure
+    Catalyst broadcast join (the cover table is the small side)."""
+    return tiles.join(F.broadcast(seg_cells),
+                      tiles[cell_col] == seg_cells["cell"], "inner") \
+        .drop(seg_cells["cell"])

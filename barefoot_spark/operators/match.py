@@ -231,7 +231,7 @@ def _candidates_for_trace(idx: RoadIndex, lats, lons, params: MatcherParams):
     """Vectorized radius search + Minset for every sample of a trace at
     once. Returns per-sample list of (eidx, frac) arrays (directed)."""
     pt, base, frac, _dist = idx.radius(lats, lons, params.max_radius)
-    spt, seidx, sfrac = idx.split(pt, base, frac)
+    spt, seidx, sfrac, _src = idx.split(pt, base, frac)
     out = []
     for i in range(len(lats)):
         sel = spt == i

@@ -1,0 +1,66 @@
+"""Tile assignment: geotag -> cell id, as a vectorized pandas UDF and as
+a pure-Catalyst column expression.
+
+The north rule's "batch-encode every image record's geotag into cells"
+stage. Two equivalent implementations:
+
+- ``cell_udf``: Arrow-batched pandas UDF over ``cells.latlng_to_cell``
+  (numpy) — the general path, same kernel the spatial joins use.
+- ``cell_expr``: the identical integer math as built-in Column
+  expressions — stays inside whole-stage codegen, is what the DuckDB
+  oracle mirrors bit-for-bit, and proves the assignment is exact integer
+  arithmetic (identical across parallelism levels by construction,
+  per BASELINE.json's determinism requirement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from .. import cells
+
+
+def cell_udf(res: int):
+    @F.pandas_udf(LongType())
+    def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(cells.latlng_to_cell(lat.to_numpy(), lon.to_numpy(), res))
+    return _udf
+
+
+def cell_expr(lat: Column, lon: Column, res: int) -> Column:
+    """Pure-SQL cell id; exact same packing as cells.pack."""
+    edge = cells.res_edge_deg(res)
+    nx = int(round(360.0 / edge))
+    ny = int(round(180.0 / edge))
+    ix = F.least(F.greatest(F.floor((lon + 180.0) / F.lit(edge)), F.lit(0)), F.lit(nx - 1))
+    iy = F.least(F.greatest(F.floor((lat + 90.0) / F.lit(edge)), F.lit(0)), F.lit(ny - 1))
+    return (F.lit(res) * F.lit(1 << cells._RES_SHIFT)
+            + ix.cast("long") * F.lit(1 << cells._IX_SHIFT)
+            + iy.cast("long"))
+
+
+def cell_expr_sql(lat_col: str, lon_col: str, res: int) -> str:
+    """The DuckDB-oracle twin of cell_expr (same doubles, same integers)."""
+    edge = cells.res_edge_deg(res)
+    nx = int(round(360.0 / edge))
+    ny = int(round(180.0 / edge))
+    ix = f"least(greatest(cast(floor(({lon_col} + 180.0) / {edge!r}) as bigint), 0), {nx - 1})"
+    iy = f"least(greatest(cast(floor(({lat_col} + 90.0) / {edge!r}) as bigint), 0), {ny - 1})"
+    return (f"cast({res} * {1 << cells._RES_SHIFT} + {ix} * {1 << cells._IX_SHIFT} "
+            f"+ {iy} as bigint)")
+
+
+def assign_tiles(df: DataFrame, lat="lat", lon="lon", res: int = 15,
+                 out="cell", use_udf: bool = False,
+                 parent_res: int | None = None) -> DataFrame:
+    """Add cell (and optionally coarse parent prefix — the partition
+    key for Iceberg-style layouts, SURVEY.md §4 item 1)."""
+    c = cell_udf(res)(F.col(lat), F.col(lon)) if use_udf \
+        else cell_expr(F.col(lat), F.col(lon), res)
+    df = df.withColumn(out, c)
+    if parent_res is not None:
+        df = df.withColumn(f"{out}_p{parent_res}",
+                           cell_expr(F.col(lat), F.col(lon), parent_res))
+    return df

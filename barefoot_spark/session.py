@@ -1,0 +1,33 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place for the engine's physical-execution knobs (SURVEY.md §4):
+AQE on (runtime re-plan + skew-join splitting), Arrow enabled for every
+pandas kernel, shuffle partitions sized for the local harness but meant
+to be overridden to ~2-3x total cores on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app="barefoot-spark", master=None, shuffle_partitions=None,
+                  extra_conf=None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

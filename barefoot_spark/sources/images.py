@@ -1,0 +1,182 @@
+"""Synthetic image+caption table (the driver-mandated input shape) and
+the multimodal column plumbing.
+
+Input schema per BASELINE.json input_hint:
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64).
+
+The container ships no image codec libraries, so the codec here is a
+deterministic stand-in with the real formats' *semantics* (documented
+stub per the task brief): "png" is lossless (zlib over raw RGB) and
+"jpeg" is lossy (6-bit/channel quantization + zlib, PSNR ≈ 47 dB —
+above the 40 dB invariant). Pixels and captions derive deterministically
+from image_id (seed 42), so any decode can be verified against an
+independent re-synthesis — that is the per-row invariant
+(decoded-pixel allclose / PSNR >= 40 dB + exact caption equality).
+All Spark-side plumbing (schema, Arrow batches, mapInPandas kernels,
+verification op) is real and tested; only the byte format itself is the
+deterministic fake. Swapping in a real codec means replacing
+``encode_image``/``decode_image`` only.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+IMAGES_SCHEMA = StructType([
+    StructField("image_id", StringType(), False),
+    StructField("bytes", BinaryType(), False),
+    StructField("w", IntegerType(), False),
+    StructField("h", IntegerType(), False),
+    StructField("fmt", StringType(), False),
+    StructField("caption", StringType(), False),
+    StructField("phash", LongType(), False),
+])
+
+_SEED = 42
+
+
+def _id_seed(image_id: str) -> int:
+    # deterministic, platform-independent
+    h = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+    return (h * 2654435761 + _SEED) & 0x7FFFFFFF
+
+
+def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Reference pixels for an image id: seeded smooth gradient + noise
+    (h, w, 3) uint8."""
+    rng = np.random.default_rng(_id_seed(image_id))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([
+        (xx * rng.uniform(0.3, 3.0) + yy * rng.uniform(0.3, 3.0)),
+        (xx * rng.uniform(0.3, 3.0) - yy * rng.uniform(0.3, 3.0)),
+        (xx * rng.uniform(0.3, 3.0) * yy * 0.01),
+    ], axis=-1)
+    noise = rng.integers(0, 32, size=(h, w, 3))
+    return ((base + noise) % 256).astype(np.uint8)
+
+
+def synth_caption(image_id: str) -> str:
+    rng = np.random.default_rng(_id_seed(image_id) ^ 0x5CA1AB1E)
+    nouns = ["street", "junction", "bridge", "river", "rooftop", "park"]
+    adjs = ["rainy", "sunlit", "foggy", "crowded", "empty", "snowy"]
+    return (f"a {adjs[rng.integers(0, len(adjs))]} "
+            f"{nouns[rng.integers(0, len(nouns))]} scene {image_id}")
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return zlib.compress(pixels.tobytes(), 1)
+    if fmt == "jpeg":
+        return zlib.compress((pixels & 0xFC).tobytes(), 1)
+    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    raw = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        return raw.copy()
+    if fmt == "jpeg":
+        return (raw | 0x02).copy()  # mid-point dequantization
+    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """8x8 block-mean average hash -> int64 (deterministic)."""
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.float64).mean(axis=2)
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    blocks = gray[:bh * 8, :bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def synth_images_pdf(n: int, seed: int = _SEED, w: int = 32, h: int = 24) -> pd.DataFrame:
+    """Deterministic image table; ~50/50 png/jpeg."""
+    rows = []
+    for i in range(n):
+        image_id = f"img-{seed}-{i:08d}"
+        fmt = "png" if (i % 2 == 0) else "jpeg"
+        px = synth_pixels(image_id, w, h)
+        rows.append((image_id, encode_image(px, fmt), w, h, fmt,
+                     synth_caption(image_id), phash64(px)))
+    return pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+
+VERIFY_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("fmt", StringType()),
+    StructField("psnr_db", DoubleType()),
+    StructField("pixel_ok", BooleanType()),
+    StructField("caption_ok", BooleanType()),
+    StructField("phash_ok", BooleanType()),
+])
+
+
+def verify_images(images: DataFrame) -> DataFrame:
+    """Per-row invariant check (BASELINE.json input_hint): decode bytes,
+    re-synthesize the reference pixels from image_id, assert
+    allclose/PSNR>=40dB + caption equality + phash. mapInPandas — the
+    whole image batch decodes inside one Arrow batch."""
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                dec = decode_image(r.bytes, r.w, r.h, r.fmt)
+                ref = synth_pixels(r.image_id, r.w, r.h)
+                p = psnr(dec, ref)
+                pixel_ok = bool(np.array_equal(dec, ref)) if r.fmt == "png" \
+                    else bool(p >= 40.0)
+                out.append((r.image_id, r.fmt, float(min(p, 1e9)), pixel_ok,
+                            r.caption == synth_caption(r.image_id),
+                            int(r.phash) == phash64(ref)))
+            yield pd.DataFrame(out, columns=[f.name for f in VERIFY_SCHEMA.fields])
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return images.select(*cols).mapInPandas(run, VERIFY_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("brightness", DoubleType()),
+    StructField("phash", LongType()),
+])
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + feature-extract stage (multimodal pipeline op): channel
+    means, brightness, recomputed phash. Plumbing pattern for any
+    decode-heavy stage: project only needed columns (never shuffle
+    `bytes`), decode inside Arrow batches."""
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(r.bytes, r.w, r.h, r.fmt).astype(np.float64)
+                m = px.mean(axis=(0, 1))
+                out.append((r.image_id, m[0], m[1], m[2], float(px.mean()),
+                            phash64(px.astype(np.uint8))))
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, FEATURE_SCHEMA)

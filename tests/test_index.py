@@ -21,7 +21,7 @@ def micro():
 
 
 def directed_ids(idx, pt, base, frac):
-    p, eidx, f = idx.split(pt, base, frac)
+    p, eidx, f, _ = idx.split(pt, base, frac)
     return set(idx.edge_id[eidx].tolist())
 
 

@@ -22,7 +22,7 @@ def candidates(idx, lat, lon, radius, azimuth=np.nan, prev=None):
     emission); prev is a list of _Cand predecessors."""
     p = M.MatcherParams(max_radius=radius)
     pt, base, frac, _ = idx.radius(np.array([lat]), np.array([lon]), radius)
-    spt, seidx, sfrac = idx.split(pt, base, frac)
+    spt, seidx, sfrac, _ = idx.split(pt, base, frac)
     ei, fr = M.minset(idx, seidx, sfrac)
     if prev:
         pos_of = {int(e): j for j, e in enumerate(ei)}

@@ -1,0 +1,134 @@
+"""Spark-level integration: DataFrame operators vs their local-numpy
+equivalents (same broadcast index, same kernels) and plan checks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from barefoot_spark import roads, wkbio
+from barefoot_spark.index import RoadIndex
+from barefoot_spark.operators import joins, match as M, tiles
+from barefoot_spark.sources import samples as S
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return RoadIndex(roads.micro7_pdf(), res=15)
+
+
+@pytest.fixture(scope="module")
+def idx_bc(spark, idx):
+    return spark.sparkContext.broadcast(idx)
+
+
+def points_df(spark, pts):
+    pdf = pd.DataFrame(pts, columns=["point_id", "lat", "lon"])
+    return spark.createDataFrame(pdf)
+
+
+def test_radius_join_matches_local(spark, idx, idx_bc):
+    pts = [("a", 48.001, 11.001), ("b", 48.001, 11.019), ("c", 49.0, 12.0)]
+    out = joins.radius_join(points_df(spark, pts), idx_bc, 200.0).toPandas()
+    # local oracle
+    lat = np.array([p[1] for p in pts])
+    lon = np.array([p[2] for p in pts])
+    pt, base, frac, dist = idx.radius(lat, lon, 200.0)
+    spt, eidx, sfrac, src = idx.split(pt, base, frac)
+    expect = sorted(zip([pts[i][0] for i in spt], idx.edge_id[eidx].tolist()))
+    got = sorted(zip(out["point_id"], out["edge_id"]))
+    assert got == expect
+    assert set(out[out.point_id == "a"]["edge_id"]) == {0, 1}
+
+
+def test_nearest_and_knn_join(spark, idx, idx_bc):
+    pts = [("a", 48.0005, 11.005)]
+    near = joins.nearest_join(points_df(spark, pts), idx_bc).toPandas()
+    assert set(near["edge_id"]) == {0, 1}  # both directions of base 0
+    knn = joins.knn_join(points_df(spark, pts), idx_bc, k=3).toPandas()
+    assert len(knn) == 3
+    assert np.all(np.diff(knn.sort_values("distance")["distance"]) >= 0)
+
+
+def test_tile_assign_udf_equals_expr(spark):
+    pdf = pd.DataFrame({
+        "point_id": [str(i) for i in range(500)],
+        "lat": np.linspace(-80, 80, 500),
+        "lon": np.linspace(-170, 170, 500),
+    })
+    df = spark.createDataFrame(pdf)
+    a = tiles.assign_tiles(df, res=15, use_udf=True).toPandas()
+    b = tiles.assign_tiles(df, res=15, use_udf=False).toPandas()
+    pd.testing.assert_series_equal(
+        a.sort_values("point_id")["cell"].reset_index(drop=True),
+        b.sort_values("point_id")["cell"].reset_index(drop=True))
+
+
+def test_tile_assign_stable_across_parallelism(spark):
+    pdf = pd.DataFrame({
+        "point_id": [str(i) for i in range(1000)],
+        "lat": np.random.default_rng(1).uniform(-80, 80, 1000),
+        "lon": np.random.default_rng(2).uniform(-170, 170, 1000),
+    })
+    one = tiles.assign_tiles(spark.createDataFrame(pdf).coalesce(1), res=14).toPandas()
+    many = tiles.assign_tiles(spark.createDataFrame(pdf).repartition(16), res=14).toPandas()
+    m1 = dict(zip(one.point_id, one.cell))
+    m2 = dict(zip(many.point_id, many.cell))
+    assert m1 == m2  # identical tile assignments at any parallelism
+
+
+def test_raster_vector_join(spark, idx_bc):
+    seg_cells = joins.segment_cells_df(spark, idx_bc, res=15)
+    pts = points_df(spark, [("a", 48.0, 11.005), ("b", 48.015, 11.021)])
+    tiled = tiles.assign_tiles(pts, res=15)
+    out = joins.raster_vector_join(tiled, seg_cells).toPandas()
+    # point a sits on base road 0; point b on base road 6
+    assert 0 in set(out[out.point_id == "a"]["gid"])
+    assert 6 in set(out[out.point_id == "b"]["gid"])
+    # plan: broadcast join, no sort-merge
+    plan = joins.raster_vector_join(tiled, seg_cells)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_point_in_polygon(spark):
+    rings = [np.array([[11.0, 48.0], [11.02, 48.0], [11.02, 48.02],
+                       [11.0, 48.02], [11.0, 48.0]])]
+    bc = spark.sparkContext.broadcast([("poly1", rings)])
+    pts = points_df(spark, [("in", 48.01, 11.01), ("out", 48.05, 11.01),
+                            ("edge-ish", 48.019, 11.019)])
+    out = joins.point_in_polygon(pts, bc).toPandas()
+    got = set(out["point_id"])
+    assert got == {"in", "edge-ish"}
+
+
+def test_match_traces_spark_equals_local(spark, idx, idx_bc):
+    pdf = S.synth_traces(idx, n_traces=3, samples_per_trace=15, seed=7)
+    sdf = spark.createDataFrame(pdf)
+    out = M.match_traces(sdf, idx_bc).toPandas().sort_values(
+        ["trace_id", "seq"]).reset_index(drop=True)
+    # local oracle per trace
+    params = M.MatcherParams()
+    local_rows = []
+    for tid, g in pdf.groupby("trace_id"):
+        local_rows.extend(M.match_trace(
+            idx, tid, g["sample_id"].to_numpy(), g["time"].to_numpy(np.int64),
+            g["lat"].to_numpy(), g["lon"].to_numpy(),
+            g["azimuth"].to_numpy(), params))
+    local = pd.DataFrame(local_rows, columns=[f.name for f in M.MATCH_SCHEMA.fields]) \
+        .sort_values(["trace_id", "seq"]).reset_index(drop=True)
+    assert len(out) == len(local) > 0
+    assert out["edge_id"].tolist() == local["edge_id"].tolist()
+    np.testing.assert_allclose(out["fraction"], local["fraction"], atol=1e-12)
+
+
+def test_matched_sequence_follows_roads(spark, idx, idx_bc):
+    # matched edges must be on the map and consecutive route edges connected
+    pdf = S.synth_traces(idx, n_traces=2, samples_per_trace=20, seed=11)
+    out = M.match_traces(spark.createDataFrame(pdf), idx_bc).toPandas()
+    assert len(out) > 0
+    known = set(idx.edge_id.tolist())
+    assert set(out["edge_id"]) <= known
+    for route in out["route_edges"]:
+        for e in route:
+            assert int(e) in known
