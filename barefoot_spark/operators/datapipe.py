@@ -1,0 +1,392 @@
+"""Large-scale training-data pipeline operators over the documents /
+embeddings tables: deduplication (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine), similarity search (brute-force + LSH-bucketed
+ANN), and text analysis (token counts, language heuristic, quality
+score, fingerprinting).
+
+Design rules (same as the spatial engine): pure
+``pyspark.sql.functions`` wherever the semantics allow (token counts,
+quality metrics, exact dedup hashing stay in whole-stage codegen);
+numpy-vectorized pandas UDFs for signature computation (MinHash/SimHash/
+fingerprints); candidate generation is always an equi-join on a derived
+key (hash, band bucket, LSH bucket) so Catalyst plans a shuffle-or-
+broadcast hash join — never an O(n^2) cross join on the full table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash groupBy (map-side combine; one shuffle on the hash)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(documents: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Group identical texts; keep the minimum id as canonical. Pure
+    Catalyst: md5 -> groupBy -> agg."""
+    return (documents
+            .select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("dup_count"))
+            .orderBy("text_hash"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Rolling char k-gram hashes (uint64)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    # polynomial rolling hash over a stride-tricks window
+    win = np.lib.stride_tricks.sliding_window_view(b, min(k, len(b)))
+    mult = np.power(np.uint64(1000003), np.arange(win.shape[1], dtype=np.uint64))
+    return (win.astype(np.uint64) * mult).sum(axis=1, dtype=np.uint64)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+    a, b = _minhash_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = np.unique(_shingle_hashes(t or "", shingle_k))
+            # (a*x + b) mod p, min per permutation — vectorized (perm x shingle)
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+    return _udf
+
+
+def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
+                  num_perm: int = 64, bands: int = 16,
+                  jaccard_threshold: float = 0.6, shingle_k: int = 5) -> DataFrame:
+    """MinHash -> banded LSH buckets -> candidate pairs -> exact
+    signature-Jaccard verify. Returns (left_id, right_id, est_jaccard).
+
+    Scale shape: signature is one pandas UDF pass; the only shuffles are
+    the band-bucket equi-join (self-join on [band, bucket_hash]) and the
+    pair dedup. Bucket hash keys are high-entropy so AQE skew handling
+    rarely triggers; a degenerate bucket (all-identical docs) is capped
+    by exact-dedup running first in a real pipeline.
+    """
+    rows_per_band = num_perm // bands
+    sig = documents.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"))
+    bands_df = sig.select(
+        "_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                     .alias("bucket"))
+            for i in range(bands)])).alias("bb")) \
+        .select("_id", "sig", "bb.band", "bb.bucket")
+    left = bands_df.alias("l")
+    right = bands_df.alias("r")
+    pairs = (left.join(right, [F.col("l.band") == F.col("r.band"),
+                               F.col("l.bucket") == F.col("r.bucket"),
+                               F.col("l._id") < F.col("r._id")])
+             .select(F.col("l._id").alias("left_id"), F.col("r._id").alias("right_id"),
+                     F.col("l.sig").alias("lsig"), F.col("r.sig").alias("rsig"))
+             .dropDuplicates(["left_id", "right_id"]))
+    est = F.aggregate(
+        F.zip_with("lsig", "rsig", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))
+    return (pairs.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("left_id", "right_id", "est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_udf(seed: int = 42):
+    @F.pandas_udf(LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for bpos in range(64):
+                if votes[bpos] > 0:
+                    val |= np.uint64(1) << np.uint64(bpos)
+            out[i] = val.astype(np.int64)
+        return pd.Series(out)
+    return _udf
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across workers, unlike
+    Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for ch in tok.encode("utf-8", "ignore"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash + 4-block banding: near-dup pairs with hamming <= k.
+    Splitting the 64-bit hash into (max_hamming+1) blocks guarantees at
+    least one identical block for any pair within the radius."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = documents.select(F.col(id_col).alias("_id"),
+                          simhash_udf()(F.col(text_col)).alias("simhash"))
+    blocks = sh.select("_id", "simhash", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftright("simhash", i * width).bitwiseAND(
+                     F.lit((1 << width) - 1)).alias("key"))
+        for i in range(nblocks)])).alias("b")) \
+        .select("_id", "simhash", "b.blk", "b.key")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (l.join(r, [F.col("l.blk") == F.col("r.blk"),
+                        F.col("l.key") == F.col("r.key"),
+                        F.col("l._id") < F.col("r._id")])
+             .select(F.col("l._id").alias("left_id"), F.col("r._id").alias("right_id"),
+                     F.col("l.simhash").alias("lh"), F.col("r.simhash").alias("rh"))
+             .dropDuplicates(["left_id", "right_id"]))
+    ham = F.bit_count(F.col("lh").bitwiseXOR(F.col("rh")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("left_id", "right_id", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) on candidate pairs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 3,
+                  text_col="text", id_col="doc_id") -> DataFrame:
+    """Exact word n-gram Jaccard for given (left_id, right_id) pairs —
+    the verify stage after LSH candidate generation. Pure Catalyst:
+    sentences -> ngrams -> array_intersect/union."""
+    grams = documents.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.transform(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(
+                        F.size(F.split(F.lower(text_col), r"\s+")) - n, F.lit(0))),
+                    lambda i: F.slice(F.split(F.lower(text_col), r"\s+"), i + 1, n)),
+                lambda arr: F.size(arr) == n),
+            lambda arr: F.concat_ws(" ", arr))).alias("grams"))
+    out = (pairs
+           .join(grams.withColumnRenamed("_id", "left_id")
+                 .withColumnRenamed("grams", "lgrams"), "left_id")
+           .join(grams.withColumnRenamed("_id", "right_id")
+                 .withColumnRenamed("grams", "rgrams"), "right_id"))
+    inter = F.size(F.array_intersect("lgrams", "rgrams"))
+    union = F.size(F.array_union("lgrams", "rgrams"))
+    return out.select(
+        "left_id", "right_id",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine_cols(vec_a, vec_b):
+    dot = F.aggregate(F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(vec_a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(vec_b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                     id_col="vec_id", vec_col="embedding",
+                     q_id_col="q_id", q_vec_col="q_vec") -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    full embedding table; rank per query. The only shuffle is the
+    per-query top-k window. JVM-side higher-order functions — no Python
+    in the scoring loop."""
+    cross = embeddings.crossJoin(F.broadcast(queries))
+    sim = _cosine_cols(F.col(vec_col).cast("array<double>"),
+                       F.col(q_vec_col).cast("array<double>"))
+    scored = cross.select(F.col(q_id_col), F.col(id_col), sim.alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                    n_planes: int = 12, seed: int = 42, dim: int = 64,
+                    id_col="vec_id", vec_col="embedding",
+                    q_id_col="q_id", q_vec_col="q_vec",
+                    probe_hamming: int = 2) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucket per vector, probe
+    buckets within `probe_hamming` bit flips of the query bucket, exact
+    cosine re-rank inside the probed set. Recall < 1 by construction;
+    the bucket equi-join replaces the full cross join."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(n_planes):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    emb_b = embeddings.withColumn("bucket", bucket_udf(F.col(vec_col)))
+    # query-side: expand to all buckets within probe_hamming
+    probe_masks = [0]
+    if probe_hamming >= 1:
+        probe_masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probe_masks += [(1 << i) | (1 << j)
+                        for i in range(n_planes) for j in range(i + 1, n_planes)]
+    q_b = (queries.withColumn("qbucket", bucket_udf(F.col(q_vec_col)))
+           .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in probe_masks])))
+           .withColumn("bucket", F.col("qbucket").bitwiseXOR(F.col("mask"))))
+    joined = emb_b.join(F.broadcast(q_b.select(q_id_col, q_vec_col, "bucket")), "bucket")
+    sim = _cosine_cols(F.col(vec_col).cast("array<double>"),
+                       F.col(q_vec_col).cast("array<double>"))
+    scored = joined.select(F.col(q_id_col), F.col(id_col), sim.alias("cosine")) \
+        .dropDuplicates([q_id_col, id_col])
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                    n_planes: int = 10, seed: int = 42, dim: int = 64,
+                    id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Embedding near-duplicate pairs: LSH self-join + exact cosine
+    filter."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(n_planes):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    emb = embeddings.select(F.col(id_col).alias("_id"),
+                            F.col(vec_col).cast("array<double>").alias("_v")) \
+        .withColumn("bucket", bucket_udf(F.col("_v")))
+    l, r = emb.alias("l"), emb.alias("r")
+    pairs = (l.join(r, [F.col("l.bucket") == F.col("r.bucket"),
+                        F.col("l._id") < F.col("r._id")])
+             .select(F.col("l._id").alias("left_id"), F.col("r._id").alias("right_id"),
+                     _cosine_cols(F.col("l._v"), F.col("r._v")).alias("cosine")))
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# text analysis — pure Catalyst expressions (oracle-friendly)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"]
+
+
+def text_stats(documents: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Token counts (whitespace + word-regex), punctuation/stopword
+    ratios, quality score, language-ID heuristic. Every expression is a
+    built-in; the identical formulas run in the DuckDB oracle."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    words = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0))
+    chars = F.length(t)
+    punct = chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9\s]", ""))
+    stop_hits = sum(
+        F.size(F.regexp_extract_all(F.lower(t), F.lit(rf"\b{w}\b"), 0))
+        for w in _STOPWORDS)
+    punct_ratio = F.round(punct / F.greatest(chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(words, F.lit(1)), 6)
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(F.lower(t), r"[^a-z0-9]", ""))
+        / F.greatest(words, F.lit(1)), 6)
+    quality = F.round(
+        F.least(chars / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2, 6)
+    lang_guess = F.when(stop_ratio >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+    return documents.select(
+        F.col(id_col), ws_tokens.alias("ws_tokens"), words.alias("word_tokens"),
+        chars.alias("n_chars_calc"), punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"), mean_word_len.alias("mean_word_len"),
+        quality.alias("quality_score"), lang_guess.alias("lang_guess"))
+
+
+def text_stats_oracle_sql(table="documents", text_col="text", id_col="doc_id") -> str:
+    """DuckDB twin of text_stats (same formulas, same rounding)."""
+    t = text_col
+    words = f"len(regexp_extract_all(lower({t}), '[a-z0-9]+'))"
+    chars = f"length({t})"
+    punct = f"({chars} - length(regexp_replace({t}, '[^a-zA-Z0-9 \\t\\n]', '', 'g')))"
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(lower({t}), '\\b{w}\\b'))" for w in _STOPWORDS)
+    punct_ratio = f"round({punct} * 1.0 / greatest({chars}, 1), 6)"
+    stop_ratio = f"round(({stop_hits}) * 1.0 / greatest({words}, 1), 6)"
+    mean_word_len = (f"round(length(regexp_replace(lower({t}), '[^a-z0-9]', '', 'g'))"
+                     f" * 1.0 / greatest({words}, 1), 6)")
+    quality = (f"round(least({chars} / 500.0, 1.0) * 0.4 "
+               f"+ least({stop_ratio} * 5.0, 1.0) * 0.4 "
+               f"+ (1.0 - least({punct_ratio} * 4.0, 1.0)) * 0.2, 6)")
+    lang = f"case when {stop_ratio} >= 0.08 then 'en' else 'other' end"
+    return f"""
+        SELECT {id_col},
+               len(regexp_split_to_array(trim({t}), '\\s+')) AS ws_tokens,
+               {words} AS word_tokens,
+               {chars} AS n_chars_calc,
+               {punct_ratio} AS punct_ratio,
+               {stop_ratio} AS stopword_ratio,
+               {mean_word_len} AS mean_word_len,
+               {quality} AS quality_score,
+               {lang} AS lang_guess
+        FROM {table}
+    """
+
+
+def doc_fingerprint(documents: DataFrame, text_col="text", id_col="doc_id",
+                    k: int = 8, window: int = 16) -> DataFrame:
+    """Winnowing fingerprint: min rolling-hash per sliding window,
+    distinct mins -> sorted fingerprint array (numpy kernel)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hs = _shingle_hashes(t or "", k).astype(np.uint64)
+            if len(hs) >= window:
+                wmin = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+            else:
+                wmin = hs.min(keepdims=True) if len(hs) else np.zeros(1, np.uint64)
+            out.append(np.unique(wmin).astype(np.int64))
+        return pd.Series(out)
+    return documents.select(F.col(id_col), _udf(F.col(text_col)).alias("fingerprint"))
