@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship end-to-end pipeline — deterministic image+geotag
+synthesis over a grid road map, tile assignment, broadcast-index radius
+join, and the per-trace Viterbi matcher (applyInPandas kernel).
+
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 (see barefoot_spark/entry_queries.py). SQL-expressible ops
+carry a DuckDB oracle built from the same formula fragments as the Spark
+pipeline; kernel ops (Viterbi, seeded-signature dedup, image codec) are
+rows-only per the contract.
 """
 
 from __future__ import annotations
@@ -15,24 +19,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tile-assign + radius-join + Viterbi match over a
+    deterministic image trajectory table derived from sf0.001 data."""
+    from pyspark.sql import functions as F
+
+    from barefoot_spark import roads
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.operators import joins as J, match as M, tiles as T
+    from barefoot_spark.sources import samples as SS
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_traces = max(4, min(16, orders.count() // 100))
+
+    idx = RoadIndex(roads.grid_pdf(8, seed=42), res=15)
+    idx_bc = spark.sparkContext.broadcast(idx)
+
+    geotags = SS.synth_traces(idx, n_traces=n_traces, samples_per_trace=30, seed=42)
+    samples = spark.createDataFrame(geotags)
+
+    matched = M.match_traces(samples, idx_bc)
+    tiled = T.assign_tiles(matched, lat="lat", lon="lon", res=14, parent_res=7)
+    return tiled.select("trace_id", "seq", "sample_id", "time", "edge_id",
+                        "fraction", "lat", "lon", "cell", "cell_p7")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from barefoot_spark.entry_queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # oracles are closed over sf_dir-independent SQL (tables are
+    # pre-registered views); generate with a placeholder dir.
+    from barefoot_spark.entry_queries import ORACLES
+    return {name: fn("") for name, fn in ORACLES.items()}

@@ -1,0 +1,123 @@
+"""Checkpointed stage runner: per-stage outputs, per-partition lineage +
+metrics, and mid-job resume.
+
+North-rule obligation (BASELINE.json): "every stage checkpoints
+per-partition lineage + metrics ... so runs resume mid-job". Precedent
+in the reference: KState's full JSON round-trip for persistence &
+redistribution (markov/KState.java:63-118,304-335).
+
+Model: a pipeline is a DAG of named stages; each stage materializes its
+output as parquet under ``<base>/<stage>`` before the next stage reads
+it. Completion is detected via Spark's ``_SUCCESS`` marker (stage level)
+or a manifest of completed partition-key values (partitioned stages), so
+a re-run skips finished work. Every run appends rows to
+``<base>/_metrics``:
+(stage, partition_id, output_rows, checksum, wall_ms, run_ts) — the
+checksum is an order-insensitive xxhash64 sum, giving cheap cross-run
+equality checks (e.g. the tile assignments at local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class StageRunner:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _out(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def _metrics_path(self) -> str:
+        return os.path.join(self.base, "_metrics")
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._out(stage), "_SUCCESS"))
+
+    def _write_metrics(self, stage: str, out_df: DataFrame, wall_ms: float):
+        cols = [f.name for f in out_df.schema.fields
+                if f.dataType.typeName() not in ("array", "map", "struct", "binary")]
+        m = (out_df
+             .withColumn("__pid", F.spark_partition_id())
+             .groupBy("__pid")
+             .agg(F.count("*").alias("output_rows"),
+                  # sum in unbounded decimal: ANSI mode forbids long
+                  # overflow and hash sums exceed 2^63 routinely
+                  F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("checksum"))
+             .select(F.lit(stage).alias("stage"),
+                     F.col("__pid").alias("partition_id"),
+                     "output_rows", "checksum",
+                     F.lit(float(wall_ms)).alias("wall_ms"),
+                     F.lit(int(time.time() * 1000)).alias("run_ts")))
+        m.write.mode("append").parquet(self._metrics_path())
+
+    def run_stage(self, stage: str, build) -> DataFrame:
+        """Materialize ``build()`` under the stage directory unless a
+        complete output already exists (resume = skip)."""
+        out = self._out(stage)
+        if self.is_complete(stage):
+            return self.spark.read.parquet(out)
+        t0 = time.time()
+        df = build() if callable(build) else build
+        df.write.mode("overwrite").parquet(out)
+        wall_ms = (time.time() - t0) * 1000
+        written = self.spark.read.parquet(out)
+        self._write_metrics(stage, written, wall_ms)
+        return written
+
+    # ------------------------------------------------------------------
+    # partition-granular resume
+    # ------------------------------------------------------------------
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.base, f"_manifest_{stage}")
+
+    def completed_keys(self, stage: str):
+        path = self._manifest_path(stage)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")) and not os.path.isdir(path):
+            return None
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def run_partitioned_stage(self, stage: str, input_df: DataFrame,
+                              key_col: str, transform) -> DataFrame:
+        """Process only partition-key values not yet in the manifest;
+        append output partitioned by the key. A crashed run resumes by
+        re-listing the manifest and processing the remainder (the unit of
+        idempotent commit is one key value — e.g. one coarse cell prefix
+        of the planet)."""
+        out = self._out(stage)
+        done = self.completed_keys(stage)
+        todo = input_df
+        if done is not None:
+            todo = input_df.join(F.broadcast(done.withColumnRenamed("key", key_col)),
+                                 key_col, "left_anti")
+        keys = [r[0] for r in todo.select(key_col).distinct().collect()]
+        if keys:
+            t0 = time.time()
+            result = transform(todo)
+            (result.write.mode("append").partitionBy(key_col).parquet(out))
+            wall_ms = (time.time() - t0) * 1000
+            self._write_metrics(f"{stage}:{len(keys)}keys",
+                                self.spark.read.parquet(out), wall_ms)
+            (self.spark.createDataFrame([(k,) for k in keys], f"key: long")
+             .write.mode("append").parquet(self._manifest_path(stage)))
+        return self.spark.read.parquet(out)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self._metrics_path())
+
+    def stage_checksum(self, stage: str) -> int:
+        """Order-insensitive whole-stage checksum (sum over partitions) —
+        identical across parallelism levels iff the rows are."""
+        m = self.metrics().filter(F.col("stage") == stage)
+        row = m.agg(F.sum("checksum").alias("c"),
+                    F.sum("output_rows").alias("n")).collect()[0]
+        return (int(row["c"] or 0), int(row["n"] or 0))

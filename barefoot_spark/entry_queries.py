@@ -1,0 +1,490 @@
+"""Driver-contract queries and their DuckDB oracle twins.
+
+Each query here exists in two forms: a Spark DataFrame pipeline
+(exercising the engine's operators and Catalyst planning) and an ANSI
+SQL string for DuckDB. Where a query computes floating-point geometry,
+both sides are generated from the same SQL fragment builders so they
+evaluate bit-identical double expressions (spherical haversine mode for
+the oracle-checkable joins; the exact-geodesic kernels are covered by
+the pytest goldens instead, since Vincenty is not expressible in SQL).
+
+Spatial inputs derive deterministically from the driver's `orders`
+table (point_id = o_orderkey; lon/lat from modular arithmetic) so the
+driver's parquet genuinely feeds every query; the 7-road micro map
+(MatcherTest.java:68-75) is inlined as a literal dimension.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import cells, roads, wkbio
+from .index import RoadIndex
+from .operators import analysis as A
+from .operators import datapipe as DP
+from .operators import joins as J
+from .operators import match as M
+from .operators import tiles as T
+from .sources import samples as SS
+
+# ---------------------------------------------------------------------------
+# shared literal fixtures + formula fragments
+# ---------------------------------------------------------------------------
+
+_K48 = repr(math.cos(math.radians(48.0))) + "e0"   # planar lon scale at lat 48 (e0 => DOUBLE literal)
+_R_SPHERE = "6371008.8e0"
+
+# micro7 as single-segment rows (every reference road is a 2-point line)
+MICRO7_SEGS = []
+for gid, src, dst, oneway, wkt in roads.MICRO7:
+    c = wkbio.parse_wkt_linestring(wkt)
+    MICRO7_SEGS.append((gid, float(c[0][0]), float(c[0][1]),
+                        float(c[1][0]), float(c[1][1])))
+
+# e0 suffixes force DOUBLE literals: Spark otherwise parses decimal
+# literals as DECIMAL and computes at reduced precision, diverging from
+# DuckDB's double arithmetic.
+SEGS_VALUES = ", ".join(f"({g}, {ax!r}e0, {ay!r}e0, {bx!r}e0, {by!r}e0)"
+                        for g, ax, ay, bx, by in MICRO7_SEGS)
+
+# concave test polygon (no horizontal edges -> no div-by-zero branch)
+POLY_RING = [(11.002, 47.999), (11.025, 47.9985), (11.027, 48.0105),
+             (11.012, 48.003), (11.002, 47.999)]
+
+POINTS_SQL_BODY = (
+    "SELECT o_orderkey AS point_id, "
+    "11.0e0 + (o_orderkey % 997) / 997.0e0 * 0.032e0 AS px, "
+    "47.998e0 + ((o_orderkey * 7919) % 997) / 997.0e0 * 0.004e0 AS py "
+    "FROM orders")
+
+WORLD_POINTS_SQL_BODY = (
+    "SELECT o_orderkey AS point_id, "
+    "-179.9e0 + (o_orderkey % 997) / 997.0e0 * 359.0e0 AS px, "
+    "-89.9e0 + ((o_orderkey * 7919) % 997) / 997.0e0 * 179.0e0 AS py "
+    "FROM orders")
+
+
+def seg_dist_expr(px: str = "px", py: str = "py") -> str:
+    """Distance (m) from point to segment: planar-clamped parameter (lon
+    scaled by cos 48deg) + spherical haversine to the closest point.
+    Identical text runs through Catalyst (F.expr) and DuckDB."""
+    dx = f"((bx - ax) * {_K48})"
+    dy = "(by - ay)"
+    wx = f"(({px} - ax) * {_K48})"
+    wy = f"(({py} - ay))"
+    t = (f"least(greatest(({wx} * {dx} + {wy} * {dy}) / "
+         f"({dx} * {dx} + {dy} * {dy}), 0.0e0), 1.0e0)")
+    qx = f"(ax + {t} * (bx - ax))"
+    qy = f"(ay + {t} * (by - ay))"
+    return (f"2.0e0 * {_R_SPHERE} * asin(sqrt("
+            f"pow(sin(radians(({qy}) - ({py})) / 2.0e0), 2) "
+            f"+ cos(radians({py})) * cos(radians({qy})) "
+            f"* pow(sin(radians(({qx}) - ({px})) / 2.0e0), 2)))")
+
+
+def pip_crossings_expr(px: str = "px", py: str = "py") -> str:
+    """Even-odd ray-cast crossing count for POLY_RING — the same
+    per-edge formula the numpy kernel evaluates (joins.ray_cast)."""
+    terms = []
+    ring = POLY_RING
+    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+        terms.append(
+            f"(CASE WHEN (({y0!r}e0 > {py}) <> ({y1!r}e0 > {py})) "
+            f"AND ({px} < {x0!r}e0 + ({py} - {y0!r}e0) / ({y1!r}e0 - {y0!r}e0) "
+            f"* ({x1!r}e0 - {x0!r}e0)) THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _points(spark: SparkSession, sf_dir: str, world=False) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return spark.sql(WORLD_POINTS_SQL_BODY if world else POINTS_SQL_BODY)
+
+
+def _segs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        pd.DataFrame(MICRO7_SEGS, columns=["gid", "ax", "ay", "bx", "by"]))
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark, sf_dir):
+    pts = _points(spark, sf_dir, world=True)
+    out = T.assign_tiles(pts.withColumnRenamed("py", "lat").withColumnRenamed("px", "lon"),
+                         res=14, parent_res=7)
+    return out.select("point_id", F.round("lat", 6).alias("lat"),
+                      F.round("lon", 6).alias("lon"), "cell",
+                      F.col("cell_p7").alias("parent_cell"))
+
+
+def oracle_tile_assign(sf_dir):
+    cell = T.cell_expr_sql("py", "px", 14)
+    parent = T.cell_expr_sql("py", "px", 7)
+    return (f"WITH pts AS ({WORLD_POINTS_SQL_BODY}) "
+            f"SELECT point_id, round(py, 6) AS lat, round(px, 6) AS lon, "
+            f"{cell} AS cell, {parent} AS parent_cell FROM pts")
+
+
+def q_tile_counts(spark, sf_dir):
+    pts = _points(spark, sf_dir, world=True)
+    out = T.assign_tiles(pts.withColumnRenamed("py", "lat").withColumnRenamed("px", "lon"),
+                         res=7)
+    return (out.groupBy("cell").agg(F.count("*").alias("n_points"))
+            .filter(F.col("n_points") > 1))
+
+
+def oracle_tile_counts(sf_dir):
+    cell = T.cell_expr_sql("py", "px", 7)
+    return (f"WITH pts AS ({WORLD_POINTS_SQL_BODY}) "
+            f"SELECT {cell} AS cell, count(*) AS n_points FROM pts "
+            f"GROUP BY 1 HAVING count(*) > 1")
+
+
+def q_radius_join(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    segs = _segs(spark)
+    d = seg_dist_expr()
+    return (pts.crossJoin(F.broadcast(segs))
+            .withColumn("dist_m", F.expr(d))
+            .filter(F.col("dist_m") < 300.0)
+            .select("point_id", "gid", F.round("dist_m", 3).alias("dist_m")))
+
+
+def oracle_radius_join(sf_dir):
+    d = seg_dist_expr()
+    return (f"WITH segs(gid, ax, ay, bx, by) AS (VALUES {SEGS_VALUES}), "
+            f"pts AS ({POINTS_SQL_BODY}) "
+            f"SELECT point_id, gid, round({d}, 3) AS dist_m FROM pts, segs "
+            f"WHERE {d} < 300.0")
+
+
+def q_knn_join(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    segs = _segs(spark)
+    d = seg_dist_expr()
+    w = Window.partitionBy("point_id").orderBy(F.col("dist_m").asc(), F.col("gid").asc())
+    return (pts.crossJoin(F.broadcast(segs))
+            .withColumn("dist_m", F.expr(d))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("point_id", "gid", F.round("dist_m", 3).alias("dist_m"),
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+def oracle_knn_join(sf_dir):
+    d = seg_dist_expr()
+    return (f"WITH segs(gid, ax, ay, bx, by) AS (VALUES {SEGS_VALUES}), "
+            f"pts AS ({POINTS_SQL_BODY}), "
+            f"s AS (SELECT point_id, gid, {d} AS dist_m FROM pts, segs), "
+            f"r AS (SELECT point_id, gid, dist_m, row_number() OVER "
+            f"(PARTITION BY point_id ORDER BY dist_m ASC, gid ASC) AS rnk FROM s) "
+            f"SELECT point_id, gid, round(dist_m, 3) AS dist_m, rnk "
+            f"FROM r WHERE rnk <= 3")
+
+
+def q_nearest_join(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    segs = _segs(spark)
+    d = seg_dist_expr()
+    w = Window.partitionBy("point_id").orderBy(F.col("dist_m").asc())
+    return (pts.crossJoin(F.broadcast(segs))
+            .withColumn("dist_m", F.expr(d))
+            .withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("point_id", "gid", F.round("dist_m", 3).alias("dist_m")))
+
+
+def oracle_nearest_join(sf_dir):
+    d = seg_dist_expr()
+    return (f"WITH segs(gid, ax, ay, bx, by) AS (VALUES {SEGS_VALUES}), "
+            f"pts AS ({POINTS_SQL_BODY}), "
+            f"s AS (SELECT point_id, gid, {d} AS dist_m FROM pts, segs), "
+            f"r AS (SELECT point_id, gid, dist_m, rank() OVER "
+            f"(PARTITION BY point_id ORDER BY dist_m ASC) AS rnk FROM s) "
+            f"SELECT point_id, gid, round(dist_m, 3) AS dist_m FROM r WHERE rnk = 1")
+
+
+def q_point_in_polygon(spark, sf_dir):
+    """Runs the real ray-cast kernel operator; the oracle expands the
+    same even-odd formula in SQL."""
+    pts = _points(spark, sf_dir).selectExpr("point_id", "py AS lat", "px AS lon")
+    ring = np.array(POLY_RING)
+    bc = spark.sparkContext.broadcast([("poly1", [ring])])
+    return J.point_in_polygon(pts, bc).orderBy("point_id")
+
+
+def oracle_point_in_polygon(sf_dir):
+    cr = pip_crossings_expr()
+    return (f"WITH pts AS ({POINTS_SQL_BODY}) "
+            f"SELECT point_id, 'poly1' AS polygon_id FROM pts "
+            f"WHERE {cr} % 2 = 1")
+
+
+def q_raster_vector(spark, sf_dir):
+    idx = RoadIndex(roads.micro7_pdf(), res=15)
+    idx_bc = spark.sparkContext.broadcast(idx)
+    pts = _points(spark, sf_dir).selectExpr("point_id", "py AS lat", "px AS lon")
+    tiles_df = T.assign_tiles(pts, res=15)
+    seg_cells = J.segment_cells_df(spark, idx_bc, res=15)
+    return (J.raster_vector_join(tiles_df, seg_cells)
+            .select("point_id", "gid", "cell"))
+
+
+def oracle_raster_vector(sf_dir):
+    idx = RoadIndex(roads.micro7_pdf(), res=15)
+    row_idx, cell = cells.cover_polyline(idx.coords, idx.offsets, 15)
+    cover_vals = ", ".join(f"({int(idx.gid[r])}, {int(c)})"
+                           for r, c in zip(row_idx, cell))
+    cexpr = T.cell_expr_sql("py", "px", 15)
+    return (f"WITH cover(gid, cell) AS (VALUES {cover_vals}), "
+            f"pts AS ({POINTS_SQL_BODY}) "
+            f"SELECT point_id, gid, {cexpr} AS cell FROM pts "
+            f"JOIN cover ON cover.cell = {cexpr}")
+
+
+# ---------------------------------------------------------------------------
+# matcher (non-SQL-expressible -> rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_viterbi_match(spark, sf_dir):
+    idx = RoadIndex(roads.micro7_pdf(), res=15)
+    idx_bc = spark.sparkContext.broadcast(idx)
+    pdf = SS.synth_traces(idx, n_traces=8, samples_per_trace=30, seed=42)
+    sdf = spark.createDataFrame(pdf)
+    out = M.match_traces(sdf, idx_bc)
+    return out.select("trace_id", "seq", "sample_id", "time", "edge_id",
+                      F.round("fraction", 6).alias("fraction"),
+                      F.round("route_length", 3).alias("route_length")) \
+        .orderBy("trace_id", "seq")
+
+
+# ---------------------------------------------------------------------------
+# analytics / datapipe queries
+# ---------------------------------------------------------------------------
+
+def q_lineitem_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def oracle_lineitem_pricing(sf_dir):
+    return """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q_top_customers(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (orders.join(F.broadcast(cust),
+                        orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .filter(F.col("n_orders") >= 5))
+
+
+def oracle_top_customers(sf_dir):
+    return """
+        SELECT c_custkey, c_mktsegment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+        HAVING count(*) >= 5
+    """
+
+
+def q_event_sessions(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    out = (ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+           .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+           .withColumn("new_session",
+                       F.when(F.col("gap_us").isNull()
+                              | (F.col("gap_us") > 30 * 60 * 1_000_000), 1)
+                       .otherwise(0))
+           .groupBy("user_id")
+           .agg(F.sum("new_session").alias("sessions"),
+                F.count("*").alias("events")))
+    return out
+
+
+def oracle_event_sessions(sf_dir):
+    return """
+        WITH g AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                        THEN 1 ELSE 0 END) AS sessions,
+               count(*) AS events
+        FROM g GROUP BY user_id
+    """
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DP.exact_dedup(docs)
+
+
+def oracle_exact_dedup(sf_dir):
+    return """
+        SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_text_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DP.text_stats(docs)
+    return out.select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("word_tokens").cast("long").alias("word_tokens"),
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        "punct_ratio", "stopword_ratio", "mean_word_len",
+        "quality_score", "lang_guess")
+
+
+def oracle_text_stats(sf_dir):
+    return DP.text_stats_oracle_sql()
+
+
+def q_quality_filter(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = DP.text_stats(docs)
+    return (stats.filter(F.col("quality_score") >= 0.5)
+            .select("doc_id", "quality_score"))
+
+
+def oracle_quality_filter(sf_dir):
+    inner = DP.text_stats_oracle_sql()
+    return (f"SELECT doc_id, quality_score FROM ({inner}) "
+            f"WHERE quality_score >= 0.5")
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    out = DP.brute_force_topk(emb, queries, k=10)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rnk"),
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def oracle_ann_topk(sf_dir):
+    return """
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             s AS (SELECT q_id, vec_id,
+                          list_dot_product(v, qv)
+                          / (sqrt(list_dot_product(v, v))
+                             * sqrt(list_dot_product(qv, qv))) AS cosine
+                   FROM e, q),
+             r AS (SELECT q_id, vec_id, cosine, row_number() OVER
+                       (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+                   FROM s)
+        SELECT q_id, vec_id, rnk, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10
+    """
+
+
+def q_dbcan_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select(F.col("event_id").alias("id"), "value")
+    return A.dbcan_1d(ev, eps=0.01, min_pts=5)
+
+
+def oracle_dbcan_events(sf_dir):
+    return A.dbcan_1d_oracle_sql(
+        "(SELECT event_id AS id, value FROM events)", 0.01, 5)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (DP.minhash_dedup(docs, jaccard_threshold=0.5)
+            .select("left_id", "right_id", F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
+def q_simhash_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DP.simhash_dedup(docs, max_hamming=3) \
+        .select("left_id", "right_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_image_verify(spark, sf_dir):
+    from .sources import images as IM
+    pdf = IM.synth_images_pdf(256)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    out = IM.verify_images(images)
+    return out.select("image_id", "fmt", F.round("psnr_db", 2).alias("psnr_db"),
+                      "pixel_ok", "caption_ok", "phash_ok")
+
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "tile_counts": q_tile_counts,
+    "radius_join": q_radius_join,
+    "knn_join": q_knn_join,
+    "nearest_join": q_nearest_join,
+    "point_in_polygon": q_point_in_polygon,
+    "raster_vector_join": q_raster_vector,
+    "viterbi_match": q_viterbi_match,
+    "lineitem_pricing": q_lineitem_pricing,
+    "top_customers": q_top_customers,
+    "event_sessions": q_event_sessions,
+    "exact_dedup": q_exact_dedup,
+    "text_stats": q_text_stats,
+    "quality_filter": q_quality_filter,
+    "ann_topk": q_ann_topk,
+    "dbcan_events": q_dbcan_events,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "image_verify": q_image_verify,
+}
+
+ORACLES = {
+    "tile_assign": oracle_tile_assign,
+    "tile_counts": oracle_tile_counts,
+    "radius_join": oracle_radius_join,
+    "knn_join": oracle_knn_join,
+    "nearest_join": oracle_nearest_join,
+    "point_in_polygon": oracle_point_in_polygon,
+    "raster_vector_join": oracle_raster_vector,
+    "lineitem_pricing": oracle_lineitem_pricing,
+    "top_customers": oracle_top_customers,
+    "event_sessions": oracle_event_sessions,
+    "exact_dedup": oracle_exact_dedup,
+    "text_stats": oracle_text_stats,
+    "quality_filter": oracle_quality_filter,
+    "ann_topk": oracle_ann_topk,
+    "dbcan_events": oracle_dbcan_events,
+    # viterbi_match / minhash_dedup / simhash_dedup / image_verify:
+    # non-SQL-expressible (stateful kernel or seeded signature UDFs) ->
+    # rows-only check per the driver contract
+}

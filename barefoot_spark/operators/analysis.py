@@ -55,7 +55,7 @@ def dbcan_1d_oracle_sql(table: str, eps: float, min_pts: int,
             FROM {table}
         ), c AS (
             SELECT id, value,
-                   sum(CASE WHEN gap IS NULL OR gap > {eps} THEN 1 ELSE 0 END)
+                   sum(CASE WHEN gap IS NULL OR gap > {eps!r}e0 THEN 1 ELSE 0 END)
                        OVER (ORDER BY value, id ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS cluster_seq
             FROM g

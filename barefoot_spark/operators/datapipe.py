@@ -323,7 +323,7 @@ def text_stats(documents: DataFrame, text_col="text", id_col="doc_id") -> DataFr
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     words = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0))
     chars = F.length(t)
-    punct = chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9\s]", ""))
+    punct = chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9 \t\n\r]", ""))
     stop_hits = sum(
         F.size(F.regexp_extract_all(F.lower(t), F.lit(rf"\b{w}\b"), 0))
         for w in _STOPWORDS)
@@ -349,7 +349,8 @@ def text_stats_oracle_sql(table="documents", text_col="text", id_col="doc_id") -
     t = text_col
     words = f"len(regexp_extract_all(lower({t}), '[a-z0-9]+'))"
     chars = f"length({t})"
-    punct = f"({chars} - length(regexp_replace({t}, '[^a-zA-Z0-9 \\t\\n]', '', 'g')))"
+    punct = (f"({chars} - length(regexp_replace({t}, "
+             r"'[^a-zA-Z0-9 \t\n\r]', '', 'g')))")
     stop_hits = " + ".join(
         f"len(regexp_extract_all(lower({t}), '\\b{w}\\b'))" for w in _STOPWORDS)
     punct_ratio = f"round({punct} * 1.0 / greatest({chars}, 1), 6)"

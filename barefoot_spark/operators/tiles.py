@@ -46,8 +46,10 @@ def cell_expr_sql(lat_col: str, lon_col: str, res: int) -> str:
     edge = cells.res_edge_deg(res)
     nx = int(round(360.0 / edge))
     ny = int(round(180.0 / edge))
-    ix = f"least(greatest(cast(floor(({lon_col} + 180.0) / {edge!r}) as bigint), 0), {nx - 1})"
-    iy = f"least(greatest(cast(floor(({lat_col} + 90.0) / {edge!r}) as bigint), 0), {ny - 1})"
+    ix = (f"least(greatest(cast(floor(({lon_col} + 180.0e0) / {edge!r}e0) "
+          f"as bigint), 0), {nx - 1})")
+    iy = (f"least(greatest(cast(floor(({lat_col} + 90.0e0) / {edge!r}e0) "
+          f"as bigint), 0), {ny - 1})")
     return (f"cast({res} * {1 << cells._RES_SHIFT} + {ix} * {1 << cells._IX_SHIFT} "
             f"+ {iy} as bigint)")
 
