@@ -47,41 +47,42 @@ def inverse(lat1, lon1, lat2, lon2):
     sinU1, cosU1 = np.sin(U1), np.cos(U1)
     sinU2, cosU2 = np.sin(U2), np.cos(U2)
 
+    # iterate only the fixed point lambda; derive the other geodesic
+    # quantities once from the converged lambda (cuts the per-iteration
+    # array-op count roughly in half — this is the hottest kernel)
     lam = L.copy()
-    active = np.ones(shape, dtype=bool)
-    sin_sig = np.zeros(shape)
-    cos_sig = np.ones(shape)
-    sigma = np.zeros(shape)
-    sin_alpha = np.zeros(shape)
-    cos2_alpha = np.ones(shape)
-    cos_2sigm = np.ones(shape)
-
+    cU1cU2 = cosU1 * cosU2
+    sU1sU2 = sinU1 * sinU2
+    sU1cU2 = sinU1 * cosU2
+    cU1sU2 = cosU1 * sinU2
     for _ in range(_MAXIT_INV):
-        if not active.any():
-            break
         sl, cl = np.sin(lam), np.cos(lam)
-        t1 = cosU2 * sl
-        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cl
-        ss = np.hypot(t1, t2)
-        cs = sinU1 * sinU2 + cosU1 * cosU2 * cl
+        ss = np.hypot(cosU2 * sl, cU1sU2 - sU1cU2 * cl)
+        cs = sU1sU2 + cU1cU2 * cl
         sig = np.arctan2(ss, cs)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sa = np.where(ss != 0, cosU1 * cosU2 * sl / np.where(ss == 0, 1, ss), 0.0)
+            sa = np.where(ss != 0, cU1cU2 * sl / np.where(ss == 0, 1, ss), 0.0)
             c2a = 1.0 - sa * sa
-            c2sm = np.where(c2a != 0, cs - 2 * sinU1 * sinU2 / np.where(c2a == 0, 1, c2a), 0.0)
+            c2sm = np.where(c2a != 0, cs - 2 * sU1sU2 / np.where(c2a == 0, 1, c2a), 0.0)
         C = f / 16 * c2a * (4 + f * (4 - 3 * c2a))
         lam_new = L + (1 - C) * f * sa * (
             sig + C * ss * (c2sm + C * cs * (-1 + 2 * c2sm * c2sm)))
-        upd = active
-        sin_sig = np.where(upd, ss, sin_sig)
-        cos_sig = np.where(upd, cs, cos_sig)
-        sigma = np.where(upd, sig, sigma)
-        sin_alpha = np.where(upd, sa, sin_alpha)
-        cos2_alpha = np.where(upd, c2a, cos2_alpha)
-        cos_2sigm = np.where(upd, c2sm, cos_2sigm)
-        conv = np.abs(lam_new - lam) < 1e-12
-        lam = np.where(upd, lam_new, lam)
-        active = active & ~conv
+        done = np.all(np.abs(lam_new - lam) < 1e-12)
+        lam = lam_new
+        if done:
+            break
+
+    sl, cl = np.sin(lam), np.cos(lam)
+    sin_sig = np.hypot(cosU2 * sl, cU1sU2 - sU1cU2 * cl)
+    cos_sig = sU1sU2 + cU1cU2 * cl
+    sigma = np.arctan2(sin_sig, cos_sig)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sin_alpha = np.where(sin_sig != 0,
+                             cU1cU2 * sl / np.where(sin_sig == 0, 1, sin_sig), 0.0)
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        cos_2sigm = np.where(cos2_alpha != 0,
+                             cos_sig - 2 * sU1sU2 / np.where(cos2_alpha == 0, 1, cos2_alpha),
+                             0.0)
 
     u2 = cos2_alpha * (WGS84_A * WGS84_A - WGS84_B * WGS84_B) / (WGS84_B * WGS84_B)
     A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
@@ -292,6 +293,49 @@ def polyline_length(coords, offsets):
     return out
 
 
+def _pair_vertex_view(offsets, poly_for_point):
+    """Per (pair, vertex) expansion arrays for pair-wise polyline ops."""
+    vcounts = (offsets[1:] - offsets[:-1])[poly_for_point]
+    vpair_idx = np.repeat(np.arange(len(poly_for_point)), vcounts)
+    v_local = (np.arange(len(vpair_idx), dtype=np.int64)
+               - np.repeat(np.concatenate(([0], np.cumsum(vcounts)[:-1])), vcounts)) \
+        if len(vcounts) else np.zeros(0, dtype=np.int64)
+    v_idx = offsets[poly_for_point][vpair_idx] + v_local
+    is_last = np.zeros(len(v_idx), dtype=bool)
+    if len(vcounts):
+        is_last[np.cumsum(vcounts) - 1] = True
+    return vpair_idx, v_idx, ~is_last
+
+
+def polyline_min_dist_planar(coords, offsets, latc, lonc, poly_for_point):
+    """Cheap equirectangular min point-to-polyline distance (meters) —
+    a conservative prefilter before the exact geodesic refine (error
+    well under 1% at sub-km scales). ~10 arithmetic ops per segment, one
+    cos per pair; no transcendental iteration."""
+    latc = np.asarray(latc, dtype=np.float64)
+    lonc = np.asarray(lonc, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    poly_for_point = np.asarray(poly_for_point, dtype=np.int64)
+    vpair_idx, v_idx, seg_sel = _pair_vertex_view(offsets, poly_for_point)
+    lon = coords[:, 0]
+    lat = coords[:, 1]
+    k = np.cos(np.radians(latc))[vpair_idx]
+    vx = (lon[v_idx] - lonc[vpair_idx]) * k * 111319.49
+    vy = (lat[v_idx] - latc[vpair_idx]) * 111194.93
+    pair_idx = vpair_idx[seg_sel]
+    ax, ay = vx[seg_sel], vy[seg_sel]
+    bx, by = vx[1:][seg_sel[:-1]], vy[1:][seg_sel[:-1]]
+    dxs, dys = bx - ax, by - ay
+    den = dxs * dxs + dys * dys
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(den > 0, -(ax * dxs + ay * dys) / np.where(den == 0, 1, den), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    d = np.hypot(ax + t * dxs, ay + t * dys)
+    out = np.full(len(poly_for_point), np.inf)
+    np.minimum.at(out, pair_idx, d)
+    return out
+
+
 def polyline_intercept(coords, offsets, latc, lonc, poly_for_point=None):
     """Global length-fraction of closest point on polyline to c
     (Geography.java:80-106): per-segment intercept clamped to [0,1],
@@ -301,6 +345,17 @@ def polyline_intercept(coords, offsets, latc, lonc, poly_for_point=None):
     If poly_for_point is None, latc/lonc are per-polyline (one point per
     polyline). Otherwise latc/lonc index pairs (point i vs polyline
     poly_for_point[i]) and the result is per pair.
+
+    Fast path: instead of the per-segment gnomonic iteration, each
+    pair's polyline vertices are projected ONCE into the azimuthal-
+    equidistant plane centered at the query point; the per-segment foot
+    of the perpendicular from the origin gives fraction and distance.
+    Geodesics through the center are straight and radial distances are
+    exact in this projection, so the error is O(s·(d/R)^2) — sub-mm for
+    the sub-km geometries of a road-matching radius query — vs the
+    reference's <=10-iteration gnomonic refinement (Intercept.java:
+    97-134). Projection cost: ONE vectorized geodesic inverse per
+    (pair, vertex), shared across the vertex's two adjacent segments.
 
     Returns (fraction, min_distance_m).
     """
@@ -312,23 +367,39 @@ def polyline_intercept(coords, offsets, latc, lonc, poly_for_point=None):
     else:
         poly_for_point = np.asarray(poly_for_point, dtype=np.int64)
 
-    # expand: for each pair, all segments of its polyline
-    counts = (offsets[1:] - offsets[:-1] - 1)[poly_for_point]
-    pair_idx = np.repeat(np.arange(len(poly_for_point)), counts)
-    seg_local = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.zeros(0, dtype=np.int64)
-    seg_start = offsets[poly_for_point][pair_idx] + seg_local
+    # expand: for each pair, all VERTICES of its polyline
+    vcounts = (offsets[1:] - offsets[:-1])[poly_for_point]
+    vpair_idx = np.repeat(np.arange(len(poly_for_point)), vcounts)
+    v_local = (np.arange(len(vpair_idx), dtype=np.int64)
+               - np.repeat(np.concatenate(([0], np.cumsum(vcounts)[:-1])), vcounts)) \
+        if len(vcounts) else np.zeros(0, dtype=np.int64)
+    v_idx = offsets[poly_for_point][vpair_idx] + v_local
 
     lon = coords[:, 0]
     lat = coords[:, 1]
-    alat, alon = lat[seg_start], lon[seg_start]
-    blat, blon = lat[seg_start + 1], lon[seg_start + 1]
-    clat, clon = latc[pair_idx], lonc[pair_idx]
+    # one AEQ projection per (pair, vertex), centered at the query point
+    s_v, azi_v, _ = inverse(latc[vpair_idx], lonc[vpair_idx], lat[v_idx], lon[v_idx])
+    a_rad = np.radians(azi_v)
+    vx = s_v * np.sin(a_rad)
+    vy = s_v * np.cos(a_rad)
 
-    ds = distance(alat, alon, blat, blon)
-    f = intercept_segment(alat, alon, blat, blon, clat, clon)
-    f = np.clip(f, 0.0, 1.0)
-    xlat, xlon = interpolate_segment(alat, alon, blat, blon, f)
-    d = distance(clat, clon, xlat, xlon)
+    # per-segment view: drop each pair's last vertex as a segment start
+    is_last = np.zeros(len(v_idx), dtype=bool)
+    if len(vcounts):
+        is_last[np.cumsum(vcounts) - 1] = True
+    seg_sel = ~is_last
+    pair_idx = vpair_idx[seg_sel]
+    ax, ay = vx[seg_sel], vy[seg_sel]
+    bx, by = vx[1:][seg_sel[:-1]], vy[1:][seg_sel[:-1]]
+
+    dxs, dys = bx - ax, by - ay
+    den = dxs * dxs + dys * dys
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(den > 0, -(ax * dxs + ay * dys) / np.where(den == 0, 1, den), 0.0)
+    f = np.clip(t, 0.0, 1.0)
+    fx, fy = ax + f * dxs, ay + f * dys
+    d = np.hypot(fx, fy)
+    ds = np.sqrt(den)  # planar segment length == geodesic length to O((L/R)^2)
 
     npairs = len(poly_for_point)
     best_d = np.full(npairs, np.inf)

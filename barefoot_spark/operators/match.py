@@ -240,6 +240,160 @@ def _candidates_for_trace(idx: RoadIndex, lats, lons, params: MatcherParams):
     return out
 
 
+def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
+                 prev_time, t_ms: int, lat: float, lon: float, azi: float,
+                 precomputed=None):
+    """One HMM filter step (Filter.execute semantics,
+    markov/Filter.java:114-244): candidate search + Minset + predecessor
+    carry-over + emissions, per-predecessor bounded routing, forward
+    probabilities with argmax backpointers, HMM-break re-seed, and the
+    KState break-to-estimate chain repair. Shared by the offline trace
+    kernel and the online (streaming) matcher — their equality is the
+    reference's strongest cross-check (tracker/TrackerServerTest.java:
+    156-166).
+
+    Returns the new candidate vector (possibly empty)."""
+    cost_vec = idx.cost_vector(params.routing_cost)
+    bound_vec = idx.cost_dist
+    tp_vec = idx.cost_timeprio
+    sig2 = params.sigma ** 2
+    sqrt_2pi_sig2 = np.sqrt(2 * np.pi * sig2)
+    sigA2 = params.sigma_a ** 2
+    sqrt_2pi_sigA = np.sqrt(2 * np.pi * sigA2)
+
+    if precomputed is None:
+        pt, base, frac, _d = idx.radius(np.array([lat]), np.array([lon]),
+                                        params.max_radius)
+        _spt, seidx, sfrac, _src = idx.split(pt, base, frac)
+        ei, fr = minset(idx, seidx, sfrac)
+    else:
+        ei, fr = precomputed
+    ei = np.asarray(ei, dtype=np.int64)
+    fr = np.asarray(fr, dtype=np.float64).copy()
+
+    # predecessor position carry-over (Matcher.java:200-213)
+    if prev_vector:
+        pos_of = {int(e): j for j, e in enumerate(ei)}
+        for p in prev_vector:
+            j = pos_of.get(p.eidx)
+            if j is None:
+                continue
+            plat, plon, _ = idx.edge_point(np.array([p.eidx]), np.array([fr[j]]))
+            d = float(geo.distance(plat[0], plon[0], p.lat, p.lon))
+            fwd = bool(idx.edge_forward[p.eidx])
+            if d < params.sigma and ((fwd and fr[j] < p.frac)
+                                     or (not fwd and fr[j] > p.frac)):
+                fr[j] = p.frac
+
+    if len(ei):
+        clat, clon, cazi = idx.edge_point(ei, fr)
+        dz = geo.distance(lat, lon, clat, clon)
+        emission = 1 / sqrt_2pi_sig2 * np.exp(-dz * dz / (2 * sig2))
+        if not np.isnan(azi):
+            da = np.abs(azi - cazi)
+            da = np.minimum(da, 360.0 - da)
+            emission = emission * np.maximum(
+                1e-2, 1 / sqrt_2pi_sigA * np.exp(-da * da / (2 * sigA2)))
+    else:
+        clat = clon = cazi = emission = np.zeros(0)
+
+    cands = [_Cand(ei[j], fr[j], clat[j], clon[j], cazi[j]) for j in range(len(ei))]
+
+    # ------ transitions + forward step (Filter.execute) ------
+    result: list[_Cand] = []
+    normsum = 0.0
+    if prev_vector and cands:
+        dt_ms = int(t_ms - prev_time)
+        bound = max(1000.0, min(params.max_distance, (dt_ms // 1000) * 100.0))
+        beta = max(1.0, float(dt_ms)) / 1000.0 if params.lam == 0 else 1.0 / params.lam
+        targets = [(c.eidx, c.frac) for c in cands]
+        trans = np.zeros((len(prev_vector), len(cands)))
+        routes: list[list] = [[None] * len(cands) for _ in prev_vector]
+        rlens = np.zeros((len(prev_vector), len(cands)))
+        for pi, p in enumerate(prev_vector):
+            paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
+                               bound_vec, bound)
+            for ci, c in enumerate(cands):
+                path = paths[ci]
+                if path is None:
+                    continue
+                sf, tf = p.frac, c.frac
+                # shorten-turns rewrite (Matcher.java:298-321)
+                if params.shorten_turns and len(path) >= 2 and \
+                        idx.edge_base[path[0]] == idx.edge_base[path[1]] and \
+                        path[0] != path[1]:
+                    if len(path) > 2:
+                        sf = 1.0 - sf
+                        path = path[1:]
+                    else:
+                        if sf < 1.0 - tf:
+                            tf = min(1.0, 1.0 - tf + 5.0 / idx.edge_len[path[0]])
+                            path = path[:1]
+                        else:
+                            sf = max(0.0, 1.0 - sf - 5.0 / idx.edge_len[path[1]])
+                            path = path[1:]
+                cost_tp = path_cost(idx, path, sf, tf, tp_vec)
+                trans[pi, ci] = (1.0 / beta) * np.exp(-cost_tp / beta)
+                routes[pi][ci] = path
+                rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_vec)
+
+        filt_prev = np.array([p.filtprob for p in prev_vector])
+        seq_prev = np.array([p.seqprob for p in prev_vector])
+        for ci, c in enumerate(cands):
+            t_col = trans[:, ci]
+            ok = t_col > 0
+            if not ok.any():
+                continue
+            filt = float((t_col[ok] * filt_prev[ok]).sum())
+            if filt == 0:
+                continue
+            log_e = float(np.log10(emission[ci])) if emission[ci] > 0 else -np.inf
+            with np.errstate(divide="ignore"):
+                seq_arr = np.where(
+                    ok, seq_prev + np.log10(np.where(ok, t_col, 1.0)) + log_e,
+                    -np.inf)
+            best = int(np.argmax(seq_arr))
+            c.filtprob = filt * emission[ci]
+            c.seqprob = float(seq_arr[best])
+            c.pred = prev_vector[best]
+            c.route = routes[best][ci]
+            c.route_len = float(rlens[best, ci])
+            result.append(c)
+            normsum += c.filtprob
+
+    # HMM break / initial seeding (Filter.java:207-232)
+    if not result:
+        for ci, c in enumerate(cands):
+            if emission[ci] == 0:
+                continue
+            c.filtprob = float(emission[ci])
+            c.seqprob = float(np.log10(emission[ci]))
+            c.pred = None
+            c.route = None
+            result.append(c)
+            normsum += c.filtprob
+
+    if result:
+        for c in result:
+            c.filtprob /= normsum
+        # KState.update: break candidates chain to previous estimate
+        # (KState.java:186-189)
+        if prev_vector:
+            prev_est = estimate(prev_vector)
+            for c in result:
+                if c.pred is None:
+                    c.pred = prev_est
+    return result
+
+
+def estimate(vector):
+    """Filter solution: argmax filtprob (KState.estimate,
+    markov/KState.java:265-277); ties broken deterministically by lowest
+    edge then fraction (the reference's HashSet order is JVM-dependent;
+    SURVEY.md §2.6)."""
+    return max(vector, key=lambda c: (c.filtprob, -c.eidx, -c.frac))
+
+
 def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
                 azimuths, params: MatcherParams) -> list[tuple]:
     """Offline match of one trace; returns MATCH_SCHEMA rows."""
@@ -284,121 +438,11 @@ def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
     prev_time = None
 
     for step in range(len(kept)):
-        ei, fr = cand_sets[step]
-        # predecessor position carry-over (Matcher.java:200-213)
-        ei = np.asarray(ei, dtype=np.int64)
-        fr = np.asarray(fr, dtype=np.float64)
-        if prev_vector:
-            pos_of = {int(e): j for j, e in enumerate(ei)}
-            for p in prev_vector:
-                j = pos_of.get(p.eidx)
-                if j is None:
-                    continue
-                plat, plon, _ = idx.edge_point(np.array([p.eidx]), np.array([fr[j]]))
-                d = float(geo.distance(plat[0], plon[0], p.lat, p.lon))
-                fwd = bool(idx.edge_forward[p.eidx])
-                if d < params.sigma and ((fwd and fr[j] < p.frac)
-                                         or (not fwd and fr[j] > p.frac)):
-                    fr[j] = p.frac
-        if len(ei):
-            clat, clon, cazi = idx.edge_point(ei, fr)
-            dz = geo.distance(k_lat[step], k_lon[step], clat, clon)
-            emission = 1 / sqrt_2pi_sig2 * np.exp(-dz * dz / (2 * sig2))
-            if not np.isnan(k_azi[step]):
-                da = np.abs(k_azi[step] - cazi)
-                da = np.minimum(da, 360.0 - da)
-                emission = emission * np.maximum(
-                    1e-2, 1 / sqrt_2pi_sigA * np.exp(-da * da / (2 * sigA2)))
-        else:
-            clat = clon = cazi = emission = np.zeros(0)
-
-        cands = [_Cand(ei[j], fr[j], clat[j], clon[j], cazi[j]) for j in range(len(ei))]
-
-        # ------ transitions + forward step (Filter.execute) ------
-        result: list[_Cand] = []
-        normsum = 0.0
-        if prev_vector and cands:
-            dt_ms = int(k_t[step] - prev_time)
-            bound = max(1000.0, min(params.max_distance, (dt_ms // 1000) * 100.0))
-            beta = max(1.0, float(dt_ms)) / 1000.0 if params.lam == 0 else 1.0 / params.lam
-            targets = [(c.eidx, c.frac) for c in cands]
-            trans = np.zeros((len(prev_vector), len(cands)))
-            routes: list[list] = [[None] * len(cands) for _ in prev_vector]
-            rlens = np.zeros((len(prev_vector), len(cands)))
-            for pi, p in enumerate(prev_vector):
-                paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
-                                   bound_vec, bound)
-                for ci, c in enumerate(cands):
-                    path = paths[ci]
-                    if path is None:
-                        continue
-                    sf, tf = p.frac, c.frac
-                    # shorten-turns rewrite (Matcher.java:298-321)
-                    if params.shorten_turns and len(path) >= 2 and \
-                            idx.edge_base[path[0]] == idx.edge_base[path[1]] and \
-                            path[0] != path[1]:
-                        if len(path) > 2:
-                            sf = 1.0 - sf
-                            path = path[1:]
-                        else:
-                            if sf < 1.0 - tf:
-                                tf = min(1.0, 1.0 - tf + 5.0 / idx.edge_len[path[0]])
-                                path = path[:1]
-                            else:
-                                sf = max(0.0, 1.0 - sf - 5.0 / idx.edge_len[path[1]])
-                                path = path[1:]
-                    cost_tp = path_cost(idx, path, sf, tf, tp_vec)
-                    trans[pi, ci] = (1.0 / beta) * np.exp(-cost_tp / beta)
-                    routes[pi][ci] = path
-                    rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_vec)
-
-            filt_prev = np.array([p.filtprob for p in prev_vector])
-            seq_prev = np.array([p.seqprob for p in prev_vector])
-            for ci, c in enumerate(cands):
-                t_col = trans[:, ci]
-                ok = t_col > 0
-                if not ok.any():
-                    continue
-                filt = float((t_col[ok] * filt_prev[ok]).sum())
-                if filt == 0:
-                    continue
-                log_e = float(np.log10(emission[ci])) if emission[ci] > 0 else -np.inf
-                with np.errstate(divide="ignore"):
-                    seq_arr = np.where(
-                        ok, seq_prev + np.log10(np.where(ok, t_col, 1.0)) + log_e,
-                        -np.inf)
-                best = int(np.argmax(seq_arr))
-                c.filtprob = filt * emission[ci]
-                c.seqprob = float(seq_arr[best])
-                c.pred = prev_vector[best]
-                c.route = routes[best][ci]
-                c.route_len = float(rlens[best, ci])
-                result.append(c)
-                normsum += c.filtprob
-
-        # HMM break / initial seeding (Filter.java:207-232)
-        if not result:
-            for ci, c in enumerate(cands):
-                if emission[ci] == 0:
-                    continue
-                c.filtprob = float(emission[ci])
-                c.seqprob = float(np.log10(emission[ci]))
-                c.pred = None
-                c.route = None
-                result.append(c)
-                normsum += c.filtprob
-
+        result = forward_step(idx, params, prev_vector, prev_time,
+                              int(k_t[step]), float(k_lat[step]),
+                              float(k_lon[step]), float(k_azi[step]),
+                              precomputed=cand_sets[step])
         if result:
-            for c in result:
-                c.filtprob /= normsum
-            # KState.update: break candidates chain to previous estimate
-            # (KState.java:186-189)
-            if prev_vector:
-                prev_est = max(prev_vector,
-                               key=lambda p: (p.filtprob, -p.eidx, -p.frac))
-                for c in result:
-                    if c.pred is None:
-                        c.pred = prev_est
             sequence.append((result, step))
             prev_vector = result
             prev_time = k_t[step]
@@ -408,8 +452,7 @@ def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
         return []
 
     # estimate + backtrack (KState.java:265-301)
-    last_vec = sequence[-1][0]
-    est = max(last_vec, key=lambda c: (c.filtprob, -c.eidx, -c.frac))
+    est = estimate(sequence[-1][0])
     chain = []
     it = est
     for _ in range(len(sequence)):

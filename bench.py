@@ -56,7 +56,7 @@ def run_bench(spark, sf_dir: str, sf: float):
 
     # --- spatial synthetic inputs (deterministic, sized by sf) ---
     grid_n = 16 if sf <= 0.02 else 24
-    idx = RoadIndex(roads.grid_pdf(grid_n, seed=42), res=15)
+    idx = RoadIndex(roads.grid_pdf(grid_n, seed=42), res=16)
     idx_bc = spark.sparkContext.broadcast(idx)
     n_tile_points = int(20_000_000 * sf)
     n_probe_points = int(3_000_000 * sf)

@@ -1,0 +1,103 @@
+"""Online matcher tests. The headline property mirrors the reference's
+strongest cross-check (tracker/TrackerServerTest.java:156-166): feeding
+samples one at a time through the online matcher yields exactly the
+offline mmatch sequence (same edges, fractions to 1e-10)."""
+
+import numpy as np
+import pytest
+
+from barefoot_spark import roads
+from barefoot_spark.index import RoadIndex
+from barefoot_spark.operators import match as M
+from barefoot_spark.sources import samples as SS
+from barefoot_spark.streaming.online import OnlineMatcher
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return RoadIndex(roads.micro7_pdf(), res=15)
+
+
+@pytest.fixture(scope="module")
+def grid_idx():
+    return RoadIndex(roads.grid_pdf(6, seed=5), res=15)
+
+
+def offline_rows(idx, samples):
+    params = M.MatcherParams()
+    ids = [str(i) for i in range(len(samples))]
+    return M.match_trace(idx, "t", ids, [s[0] for s in samples],
+                         [s[1] for s in samples], [s[2] for s in samples],
+                         [s[3] if len(s) > 3 else np.nan for s in samples], params)
+
+
+def check_equality(idx, samples):
+    om = OnlineMatcher(idx)
+    for (t, lat, lon, *rest) in samples:
+        azi = rest[0] if rest else float("nan")
+        om.update("t", t, lat, lon, azi)
+    online_seq = om.sequence("t")
+    offline = offline_rows(idx, samples)
+    assert len(online_seq) == len(offline)
+    for o_row, f_row in zip(online_seq, offline):
+        assert o_row[2] == f_row[4]                       # edge id
+        assert abs(o_row[3] - f_row[5]) < 1e-10           # fraction
+
+
+def test_online_equals_offline_micro7(idx):
+    check_equality(idx, [(0, 48.001, 11.001), (60000, 48.001, 11.011),
+                         (120000, 48.001, 11.012), (180000, 48.010, 11.021)])
+
+
+def test_online_equals_offline_synthetic(grid_idx):
+    pdf = SS.synth_traces(grid_idx, n_traces=3, samples_per_trace=25, seed=13)
+    for tid, g in pdf.groupby("trace_id"):
+        samples = list(zip(g["time"], g["lat"], g["lon"], g["azimuth"]))
+        check_equality(grid_idx, samples)
+
+
+def test_out_of_order_rejected(idx):
+    om = OnlineMatcher(idx)
+    om.update("t", 60000, 48.001, 11.001)
+    status, publish, row = om.update("t", 0, 48.001, 11.011)
+    assert status == "order" and row is None
+    assert len(om.sequence("t")) == 1
+
+
+def test_thinning_gates(idx):
+    om = OnlineMatcher(idx, M.MatcherParams(min_interval_ms=5000))
+    om.update("t", 0, 48.001, 11.001)
+    status, _, _ = om.update("t", 1000, 48.001, 11.002)
+    assert status == "thin"
+    status, _, _ = om.update("t", 6000, 48.001, 11.002)
+    assert status == "ok"
+
+
+def test_k_bounded_state(idx):
+    om = OnlineMatcher(idx, k=2)
+    samples = [(0, 48.001, 11.001), (60000, 48.001, 11.011),
+               (120000, 48.001, 11.012), (180000, 48.010, 11.021)]
+    for t, lat, lon in samples:
+        om.update("t", t, lat, lon)
+    assert len(om.states["t"].sequence) == 3  # k+1 vectors kept
+    seq = om.sequence("t")
+    assert len(seq) == 3
+
+
+def test_ttl_expiry(idx):
+    om = OnlineMatcher(idx, ttl_ms=1000)
+    om.update("t", 0, 48.001, 11.001)
+    assert om.expire(now_ms=500) == []
+    assert om.expire(now_ms=2000) == ["t"]
+    assert "t" not in om.states
+
+
+def test_publish_suppression(idx):
+    om = OnlineMatcher(idx, sensitive_m=50.0)
+    om.update("t", 0, 48.001, 11.001)
+    # tiny move on the same edge -> suppressed
+    status, publish, _ = om.update("t", 60000, 48.001, 11.0011)
+    assert status == "ok" and publish is False
+    # larger move -> published
+    status, publish, _ = om.update("t", 120000, 48.001, 11.008)
+    assert status == "ok" and publish is True

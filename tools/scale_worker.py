@@ -1,0 +1,102 @@
+"""One scaling-run worker: executes the headline spatial stages at a
+given parallelism and writes JSON metrics (+ stage checksums proving
+identical results across parallelism levels).
+Usage: python tools/scale_worker.py <cpus> <out_json> [sf_dir]"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from barefoot_spark import roads
+from barefoot_spark.index import RoadIndex
+from barefoot_spark.operators import joins as J, match as M, tiles as T
+from barefoot_spark.session import build_session
+from barefoot_spark.sources import samples as SS
+
+
+def main():
+    cpus = int(sys.argv[1])
+    out_path = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = build_session(app=f"scale-{cpus}", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    grid_n = 24
+    idx = RoadIndex(roads.grid_pdf(grid_n, seed=42), res=16)
+    idx_bc = spark.sparkContext.broadcast(idx)
+    n_tile = int(40_000_000 * sf)
+    n_probe = int(3_000_000 * sf)
+    n_traces = max(8, int(2000 * sf))
+    lat_lo, lat_hi = 48.0, 48.0 + grid_n * 0.005
+    lon_lo, lon_hi = 11.0, 11.0 + grid_n * 0.005
+
+    def synth_points(n):
+        return (spark.range(n)
+                .withColumn("lat", F.lit(lat_lo) + (F.col("id") % 9973) / 9973.0
+                            * F.lit(lat_hi - lat_lo))
+                .withColumn("lon", F.lit(lon_lo) + ((F.col("id") * 7919) % 9973) / 9973.0
+                            * F.lit(lon_hi - lon_lo))
+                .withColumnRenamed("id", "point_id"))
+
+    # warmup (JVM/codegen)
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    results = {"cpus": cpus, "sf": sf, "stages": {}, "checksums": {}}
+
+    def checksum(df, cols):
+        row = df.agg(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("c"),
+            F.count("*").alias("n")).collect()[0]
+        return [str(row["c"]), int(row["n"])]
+
+    # 1. tile assignment
+    t0 = time.time()
+    tiles_df = T.assign_tiles(synth_points(n_tile), res=15, parent_res=7)
+    cs = checksum(tiles_df, ["point_id", "cell", "cell_p7"])
+    dt = time.time() - t0
+    results["stages"]["tile_assign"] = {"rows": n_tile, "sec": round(dt, 3),
+                                        "rows_per_sec": round(n_tile / dt)}
+    results["checksums"]["tile_assign"] = cs
+
+    # 2. radius join (broadcast-index probe)
+    t0 = time.time()
+    rj = J.radius_join(synth_points(n_probe), idx_bc, 100.0)
+    cs = checksum(rj, ["point_id", "edge_id"])
+    dt = time.time() - t0
+    results["stages"]["radius_join"] = {"rows": n_probe, "sec": round(dt, 3),
+                                        "rows_per_sec": round(n_probe / dt)}
+    results["checksums"]["radius_join"] = cs
+
+    # 3. Viterbi match
+    geotags = SS.synth_traces(idx, n_traces=n_traces, samples_per_trace=60, seed=42)
+    samples_df = spark.createDataFrame(geotags).repartition(
+        max(cpus, 8), "trace_id").cache()
+    n_samples = samples_df.count()
+    t0 = time.time()
+    matched = M.match_traces(samples_df, idx_bc)
+    cs = checksum(matched.select("trace_id", "seq", "edge_id",
+                                 F.round("fraction", 9).alias("fr")),
+                  ["trace_id", "seq", "edge_id", "fr"])
+    dt = time.time() - t0
+    results["stages"]["viterbi_match"] = {"rows": n_samples, "sec": round(dt, 3),
+                                          "rows_per_sec": round(n_samples / dt)}
+    results["checksums"]["viterbi_match"] = cs
+
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
