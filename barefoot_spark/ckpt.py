@@ -47,9 +47,9 @@ class StageRunner:
              .withColumn("__pid", F.spark_partition_id())
              .groupBy("__pid")
              .agg(F.count("*").alias("output_rows"),
-                  # sum in unbounded decimal: ANSI mode forbids long
-                  # overflow and hash sums exceed 2^63 routinely
-                  F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("checksum"))
+                  # bit_xor: order-insensitive and overflow-free (ANSI
+                  # mode forbids overflowing long sums of hashes)
+                  F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("checksum"))
              .select(F.lit(stage).alias("stage"),
                      F.col("__pid").alias("partition_id"),
                      "output_rows", "checksum",
@@ -118,6 +118,6 @@ class StageRunner:
         """Order-insensitive whole-stage checksum (sum over partitions) —
         identical across parallelism levels iff the rows are."""
         m = self.metrics().filter(F.col("stage") == stage)
-        row = m.agg(F.sum("checksum").alias("c"),
+        row = m.agg(F.expr("bit_xor(checksum)").alias("c"),
                     F.sum("output_rows").alias("n")).collect()[0]
         return (int(row["c"] or 0), int(row["n"] or 0))

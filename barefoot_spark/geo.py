@@ -482,6 +482,64 @@ def polyline_interpolate(coords, offsets, frac, poly_for_point=None, lengths=Non
     return out_lat, out_lon
 
 
+def polyline_point_azimuth(coords, offsets, frac, poly_for_point=None, lengths=None):
+    """Fused interpolate + azimuth at a global length-fraction: one
+    geodesic inverse (segment) + one direct (shot to the fraction) per
+    row — the direct problem's arrival azimuth IS the heading there, so
+    the separate azimuth pass of the reference (Geography.java:55-67
+    re-derives it with an extra inverse) is unnecessary.
+    Returns (lat, lon, azimuth[0,360))."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    frac = np.asarray(frac, dtype=np.float64)
+    if poly_for_point is None:
+        poly_for_point = np.arange(len(frac), dtype=np.int64)
+    else:
+        poly_for_point = np.asarray(poly_for_point, dtype=np.int64)
+
+    counts = (offsets[1:] - offsets[:-1] - 1)[poly_for_point]
+    pair_idx = np.repeat(np.arange(len(poly_for_point)), counts)
+    seg_local = (np.arange(len(pair_idx), dtype=np.int64)
+                 - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)) \
+        if len(counts) else np.zeros(0, dtype=np.int64)
+    seg_start = offsets[poly_for_point][pair_idx] + seg_local
+    lon, lat = coords[:, 0], coords[:, 1]
+    alat, alon = lat[seg_start], lon[seg_start]
+    blat, blon = lat[seg_start + 1], lon[seg_start + 1]
+    ds, seg_azi1, _ = inverse(alat, alon, blat, blon)
+
+    npairs = len(poly_for_point)
+    total = np.zeros(npairs)
+    np.add.at(total, pair_idx, ds)
+    if lengths is not None:
+        total = np.asarray(lengths, dtype=np.float64)[poly_for_point]
+    cum = np.zeros(len(ds) + 1)
+    np.cumsum(ds, out=cum[1:])
+    first = np.maximum(_group_first(npairs, pair_idx), 0)
+    s_before = cum[np.arange(len(ds))] - cum[first][pair_idx]
+
+    d_target = total * np.clip(frac, 0.0, 1.0)
+    reach = (s_before + ds + 1e-9) >= d_target[pair_idx]
+    pick = _group_first(npairs, pair_idx, reach)
+    last = np.maximum(_group_last(npairs, pair_idx), 0)
+    pick = np.where(pick < 0, last, pick) if len(ds) else pick
+    p = pick
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d_local = np.clip(d_target - s_before[p], 0.0, None)
+    out_lat, out_lon, azi2 = direct(alat[p], alon[p], seg_azi1[p], d_local)
+    zero_len = ds[p] == 0
+    out_lat = np.where(zero_len, alat[p], out_lat)
+    out_lon = np.where(zero_len, alon[p], out_lon)
+    azi = np.where(d_local < 1e-9, seg_azi1[p], azi2)
+    # endpoint fast paths (Geography.java:119-125)
+    f0 = frac < 1e-10
+    f1 = frac > 1 - 1e-10
+    start_pt = offsets[poly_for_point]
+    end_pt = offsets[poly_for_point + 1] - 1
+    out_lat = np.where(f0, lat[start_pt], np.where(f1, lat[end_pt], out_lat))
+    out_lon = np.where(f0, lon[start_pt], np.where(f1, lon[end_pt], out_lon))
+    return out_lat, out_lon, np.where(azi < 0, azi + 360.0, azi)
+
+
 def polyline_azimuth(coords, offsets, frac, poly_for_point=None):
     """Heading at global length-fraction f, wrapped [0,360)
     (Geography.java:149-178)."""
@@ -527,10 +585,16 @@ def polyline_azimuth(coords, offsets, frac, poly_for_point=None):
 
 
 def envelope(latc, lonc, radius_m):
-    """(lat_min, lat_max, lon_min, lon_max) of the radius circle via four
-    geodesic direct shots (Geography.java:180-192)."""
-    lat_max, _, _ = direct(latc, lonc, 0.0, radius_m)
-    lat_min, _, _ = direct(latc, lonc, -180.0, radius_m)
-    _, lon_max, _ = direct(latc, lonc, 90.0, radius_m)
-    _, lon_min, _ = direct(latc, lonc, -90.0, radius_m)
-    return lat_min, lat_max, lon_min, lon_max
+    """Conservative (lat_min, lat_max, lon_min, lon_max) of the radius
+    circle. The reference shoots four geodesic directs
+    (Geography.java:180-192); since the envelope only prefilters
+    candidates before an exact refine, we use the closed-form
+    meters-per-degree bound with a 0.5% safety margin instead — four
+    Vincenty solves per probe row would dominate the join's memory
+    bandwidth for no accuracy benefit."""
+    latc = np.asarray(latc, dtype=np.float64)
+    lonc = np.asarray(lonc, dtype=np.float64)
+    dlat = (radius_m / 111132.95) * 1.005 + 1e-9  # min m/deg of latitude
+    coslat = np.cos(np.radians(np.minimum(np.abs(latc) + dlat, 89.9)))
+    dlon = radius_m / (111319.49 * coslat) * 1.005 + 1e-9
+    return latc - dlat, latc + dlat, lonc - dlon, lonc + dlon

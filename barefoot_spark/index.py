@@ -154,12 +154,26 @@ class RoadIndex:
     # ------------------------------------------------------------------
     # queries — batch analogs of QuadTreeIndex.radius/nearest/knearest
     # ------------------------------------------------------------------
+    _CHUNK = 32768  # keep per-chunk temporaries L3-resident: elementwise
+    # numpy is DRAM-bandwidth-bound, and 8+ parallel workers saturate the
+    # socket unless the streamed working set stays in cache
+
     def radius(self, lat, lon, radius_m):
         """All base segments with closest point strictly within radius_m
         (QuadTreeIndex.java:176-200). Returns (point_idx, base_idx,
         fraction, distance) flat arrays."""
         lat = np.asarray(lat, dtype=np.float64)
         lon = np.asarray(lon, dtype=np.float64)
+        if len(lat) > self._CHUNK:
+            parts = []
+            for s in range(0, len(lat), self._CHUNK):
+                pt, base, frac, dist = self._radius_chunk(
+                    lat[s:s + self._CHUNK], lon[s:s + self._CHUNK], radius_m)
+                parts.append((pt + s, base, frac, dist))
+            return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+        return self._radius_chunk(lat, lon, radius_m)
+
+    def _radius_chunk(self, lat, lon, radius_m):
         lat_min, lat_max, lon_min, lon_max = geo.envelope(lat, lon, float(radius_m))
         pair_pt, pair_base = self._candidates_for_envelopes(lat_min, lat_max, lon_min, lon_max)
         # cheap planar prefilter (conservative 2%+5m slack) before the
@@ -273,9 +287,9 @@ class RoadIndex:
         base = self.edge_base[eidx]
         fwd = self.edge_forward[eidx]
         base_frac = np.where(fwd, frac, 1.0 - frac)
-        lat, lon = geo.polyline_interpolate(self.coords, self.offsets, base_frac,
-                                            poly_for_point=base, lengths=self.length)
-        azi = geo.polyline_azimuth(self.coords, self.offsets, base_frac, poly_for_point=base)
+        lat, lon, azi = geo.polyline_point_azimuth(
+            self.coords, self.offsets, base_frac, poly_for_point=base,
+            lengths=self.length)
         azi = np.where(fwd, azi, (azi + 180.0) % 360.0)
         return lat, lon, azi
 

@@ -228,15 +228,30 @@ class _Cand:
 
 
 def _candidates_for_trace(idx: RoadIndex, lats, lons, params: MatcherParams):
-    """Vectorized radius search + Minset for every sample of a trace at
-    once. Returns per-sample list of (eidx, frac) arrays (directed)."""
+    """Vectorized radius search + Minset + point geometry for every
+    sample of a trace at once. Returns per-sample tuples
+    (eidx, frac, lat, lon, azi) — ONE batched geodesic pass for the
+    whole trace instead of per-step little-array calls."""
     pt, base, frac, _dist = idx.radius(lats, lons, params.max_radius)
     spt, seidx, sfrac, _src = idx.split(pt, base, frac)
-    out = []
+    kept = []
     for i in range(len(lats)):
         sel = spt == i
         ei, fr = minset(idx, seidx[sel], sfrac[sel])
-        out.append((ei, fr))
+        kept.append((ei, fr))
+    all_ei = np.concatenate([k[0] for k in kept]) if kept else np.zeros(0, np.int64)
+    all_fr = np.concatenate([k[1] for k in kept]) if kept else np.zeros(0)
+    if len(all_ei):
+        clat, clon, cazi = idx.edge_point(all_ei, all_fr)
+    else:
+        clat = clon = cazi = np.zeros(0)
+    out = []
+    pos = 0
+    for ei, fr in kept:
+        n = len(ei)
+        out.append((ei, fr, clat[pos:pos + n], clon[pos:pos + n],
+                    cazi[pos:pos + n]))
+        pos += n
     return out
 
 
@@ -266,27 +281,38 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
                                         params.max_radius)
         _spt, seidx, sfrac, _src = idx.split(pt, base, frac)
         ei, fr = minset(idx, seidx, sfrac)
+        if len(ei):
+            clat, clon, cazi = idx.edge_point(ei, fr)
+        else:
+            clat = clon = cazi = np.zeros(0)
     else:
-        ei, fr = precomputed
+        ei, fr, clat, clon, cazi = precomputed
     ei = np.asarray(ei, dtype=np.int64)
     fr = np.asarray(fr, dtype=np.float64).copy()
+    clat = np.asarray(clat, dtype=np.float64).copy()
+    clon = np.asarray(clon, dtype=np.float64).copy()
+    cazi = np.asarray(cazi, dtype=np.float64).copy()
 
-    # predecessor position carry-over (Matcher.java:200-213)
-    if prev_vector:
+    # predecessor position carry-over (Matcher.java:200-213), batched:
+    # one geodesic pass over all matching (predecessor, candidate) pairs
+    if prev_vector and len(ei):
         pos_of = {int(e): j for j, e in enumerate(ei)}
-        for p in prev_vector:
-            j = pos_of.get(p.eidx)
-            if j is None:
-                continue
-            plat, plon, _ = idx.edge_point(np.array([p.eidx]), np.array([fr[j]]))
-            d = float(geo.distance(plat[0], plon[0], p.lat, p.lon))
-            fwd = bool(idx.edge_forward[p.eidx])
-            if d < params.sigma and ((fwd and fr[j] < p.frac)
-                                     or (not fwd and fr[j] > p.frac)):
-                fr[j] = p.frac
+        hits = [(p, pos_of[p.eidx]) for p in prev_vector if p.eidx in pos_of]
+        if hits:
+            js = np.array([j for _, j in hits], dtype=np.int64)
+            d = geo.distance(clat[js], clon[js],
+                             np.array([p.lat for p, _ in hits]),
+                             np.array([p.lon for p, _ in hits]))
+            pf = np.array([p.frac for p, _ in hits])
+            fwd = idx.edge_forward[[p.eidx for p, _ in hits]]
+            carry = (d < params.sigma) & np.where(fwd, fr[js] < pf, fr[js] > pf)
+            if carry.any():
+                cj = js[carry]
+                fr[cj] = pf[carry]
+                nlat, nlon, nazi = idx.edge_point(ei[cj], fr[cj])
+                clat[cj], clon[cj], cazi[cj] = nlat, nlon, nazi
 
     if len(ei):
-        clat, clon, cazi = idx.edge_point(ei, fr)
         dz = geo.distance(lat, lon, clat, clon)
         emission = 1 / sqrt_2pi_sig2 * np.exp(-dz * dz / (2 * sig2))
         if not np.isnan(azi):
@@ -295,7 +321,7 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
             emission = emission * np.maximum(
                 1e-2, 1 / sqrt_2pi_sigA * np.exp(-da * da / (2 * sigA2)))
     else:
-        clat = clon = cazi = emission = np.zeros(0)
+        emission = np.zeros(0)
 
     cands = [_Cand(ei[j], fr[j], clat[j], clon[j], cazi[j]) for j in range(len(ei))]
 

@@ -58,15 +58,15 @@ def run_bench(spark, sf_dir: str, sf: float):
     grid_n = 16 if sf <= 0.02 else 24
     idx = RoadIndex(roads.grid_pdf(grid_n, seed=42), res=16)
     idx_bc = spark.sparkContext.broadcast(idx)
-    n_tile_points = int(20_000_000 * sf)
-    n_probe_points = int(3_000_000 * sf)
-    n_traces = max(8, int(2000 * sf))
+    n_tile_points = int(100_000_000 * sf)
+    n_probe_points = int(50_000_000 * sf)
+    n_traces = max(8, int(5000 * sf))
 
     lat_lo, lat_hi = 48.0, 48.0 + grid_n * 0.005
     lon_lo, lon_hi = 11.0, 11.0 + grid_n * 0.005
 
     def synth_points(n):
-        return (spark.range(n)
+        return (spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 2)
                 .withColumn("lat", F.lit(lat_lo) + (F.col("id") % 9973) / 9973.0
                             * F.lit(lat_hi - lat_lo))
                 .withColumn("lon", F.lit(lon_lo) + ((F.col("id") * 7919) % 9973) / 9973.0

@@ -139,8 +139,13 @@ def test_polyline_batch_pairs():
 
 
 def test_envelope_contains_circle():
+    # envelope must CONTAIN the geodesic circle (conservative prefilter)
     lat_min, lat_max, lon_min, lon_max = geo.envelope(48.0, 11.0, 200.0)
     assert float(lat_min) < 48.0 < float(lat_max)
     assert float(lon_min) < 11.0 < float(lon_max)
-    # ~200m in degrees latitude ≈ 0.0018
-    assert abs((float(lat_max) - 48.0) - 0.0018) < 2e-4
+    bearings = np.arange(0, 360, 5.0)
+    blat, blon, _ = geo.direct(48.0, 11.0, bearings, 200.0)
+    assert np.all(blat >= lat_min) and np.all(blat <= lat_max)
+    assert np.all(blon >= lon_min) and np.all(blon <= lon_max)
+    # and stay tight (within ~2% + margin)
+    assert (float(lat_max) - 48.0) < 0.0018 * 1.1

@@ -35,14 +35,14 @@ def main():
     grid_n = 24
     idx = RoadIndex(roads.grid_pdf(grid_n, seed=42), res=16)
     idx_bc = spark.sparkContext.broadcast(idx)
-    n_tile = int(40_000_000 * sf)
-    n_probe = int(3_000_000 * sf)
-    n_traces = max(8, int(2000 * sf))
+    n_tile = int(400_000_000 * sf)
+    n_probe = int(150_000_000 * sf)
+    n_traces = max(8, int(20_000 * sf))
     lat_lo, lat_hi = 48.0, 48.0 + grid_n * 0.005
     lon_lo, lon_hi = 11.0, 11.0 + grid_n * 0.005
 
     def synth_points(n):
-        return (spark.range(n)
+        return (spark.range(0, n, 1, cpus * 2)
                 .withColumn("lat", F.lit(lat_lo) + (F.col("id") % 9973) / 9973.0
                             * F.lit(lat_hi - lat_lo))
                 .withColumn("lon", F.lit(lon_lo) + ((F.col("id") * 7919) % 9973) / 9973.0
@@ -55,9 +55,10 @@ def main():
     results = {"cpus": cpus, "sf": sf, "stages": {}, "checksums": {}}
 
     def checksum(df, cols):
-        row = df.agg(
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("c"),
-            F.count("*").alias("n")).collect()[0]
+        # bit_xor: order-insensitive, overflow-free, cheap (decimal sums
+        # of hashes dominate the timing otherwise)
+        row = df.select(F.xxhash64(*cols).alias("h")).agg(
+            F.expr("bit_xor(h)").alias("c"), F.count("*").alias("n")).collect()[0]
         return [str(row["c"]), int(row["n"])]
 
     # 1. tile assignment
