@@ -21,6 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
@@ -39,26 +40,31 @@ def _hit_schema(id_field: StructField):
 
 
 def _probe_op(points: DataFrame, idx_bc, point_id: str, query_fn) -> DataFrame:
-    """Shared mapInPandas probe harness: batch in, flat hits out."""
+    """Shared probe harness: Arrow record batches in, flat hits out.
+
+    Uses ``mapInArrow`` (not mapInPandas): the probe is bandwidth-bound,
+    so skipping the pandas materialization on both sides of the kernel
+    measurably raises throughput; lat/lon columns come out zero-copy as
+    numpy and the id column is carried arrow-native via take()."""
     id_field = points.schema[point_id]
     schema = _hit_schema(StructField(point_id, id_field.dataType))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         idx = idx_bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            lat = pdf["lat"].to_numpy(np.float64)
-            lon = pdf["lon"].to_numpy(np.float64)
+            names = rb.schema.names
+            lat = rb.column(names.index("lat")).to_numpy(zero_copy_only=False)
+            lon = rb.column(names.index("lon")).to_numpy(zero_copy_only=False)
+            pid = rb.column(names.index(point_id))
             pt, eidx, frac, dist = query_fn(idx, lat, lon)
-            yield pd.DataFrame({
-                point_id: pdf[point_id].to_numpy()[pt],
-                "edge_id": idx.edge_id[eidx],
-                "fraction": frac,
-                "distance": dist,
-            })
+            yield pa.RecordBatch.from_arrays(
+                [pid.take(pa.array(pt)), pa.array(idx.edge_id[eidx]),
+                 pa.array(frac), pa.array(dist)],
+                names=[point_id, "edge_id", "fraction", "distance"])
 
-    return points.select(point_id, "lat", "lon").mapInPandas(run, schema)
+    return points.select(point_id, "lat", "lon").mapInArrow(run, schema)
 
 
 def radius_join(points: DataFrame, idx_bc, radius_m: float,

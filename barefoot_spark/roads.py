@@ -191,3 +191,73 @@ def edges_pandas(roads_pdf: pd.DataFrame) -> pd.DataFrame:
     out["cost_time"] = time
     out["cost_timeprio"] = time * np.maximum(1.0, out["priority"].astype(float))
     return out
+
+
+# road-class dim table (FIXTURES.md §4): same shape as the reference's
+# road-types config (map/tools/road-types.json:1-50, loaded by
+# roadmap/Loader.roadtypes, roadmap/Loader.java:148-165)
+ROAD_TYPES = [
+    # (class_id, tag, name, priority, maxspeed)
+    (101, "highway", "motorway", 0.9, 130),
+    (102, "highway", "motorway_link", 1.1, 80),
+    (104, "highway", "trunk", 1.1, 120),
+    (106, "highway", "primary", 1.2, 100),
+    (108, "highway", "secondary", 1.4, 80),
+    (110, "highway", "tertiary", 1.5, 70),
+    (112, "highway", "residential", 1.8, 50),
+    (0, "fixture", "micro", 1.0, 100),
+    (1, "fixture", "junction", 1.0, 60),
+    (2, "fixture", "grid-a", 1.2, 50),
+    (3, "fixture", "grid-b", 1.4, 50),
+]
+
+
+def road_types_pdf() -> pd.DataFrame:
+    return pd.DataFrame(ROAD_TYPES,
+                        columns=["class_id", "tag", "name", "priority", "maxspeed"])
+
+
+def apply_road_type_config(roads: DataFrame, types: DataFrame) -> DataFrame:
+    """Config gate + defaulting (road/PostGISReader.java:140-158): drop
+    roads whose class_id has no configured type (inner join against the
+    broadcast dim table); null/zero maxspeeds default from the config;
+    priority comes from the config. Pure Catalyst."""
+    t = F.broadcast(types.select(
+        F.col("class_id").alias("t_class"), F.col("priority").alias("t_priority"),
+        F.col("maxspeed").alias("t_maxspeed")))
+    joined = roads.join(t, roads["class_id"] == t["t_class"], "inner")
+    def msp(col):
+        return F.when(F.col(col).isNull() | (F.col(col) <= 0),
+                      F.col("t_maxspeed")).otherwise(F.col(col))
+    return (joined
+            .withColumn("maxspeed_forward", msp("maxspeed_forward"))
+            .withColumn("maxspeed_backward", msp("maxspeed_backward"))
+            .withColumn("priority", F.col("t_priority"))
+            .drop("t_class", "t_priority", "t_maxspeed"))
+
+
+def filter_roads(roads: DataFrame, exclude_classes=None, polygon_rings=None,
+                 mode: str = "overlap", spark=None) -> DataFrame:
+    """Scan-level road predicates (road/PostGISReader.java:90-121):
+    class exclusion is a Catalyst filter (pushed to the source);
+    polygon restriction keeps roads whose geometry overlaps (any vertex
+    inside) or is contained by (all vertices inside) the polygon —
+    ST_Overlaps/ST_Contains analog via the ray-cast kernel."""
+    out = roads
+    if exclude_classes:
+        out = out.filter(~F.col("class_id").isin(list(exclude_classes)))
+    if polygon_rings is not None:
+        from .operators.joins import ray_cast
+
+        def check(batches):
+            for pdf in batches:
+                keep = []
+                for wkb in pdf["geom_wkb"]:
+                    c = wkbio.wkb_to_linestring(wkb)
+                    inside = ray_cast(c[:, 1], c[:, 0], polygon_rings)
+                    keep.append(bool(inside.all() if mode == "contain"
+                                     else inside.any()))
+                yield pdf[np.array(keep, dtype=bool)]
+
+        out = out.mapInPandas(check, out.schema)
+    return out

@@ -60,7 +60,10 @@ def synth_traces(idx: RoadIndex, n_traces: int, samples_per_trace: int = 60,
 
 
 def parse_sample_json(df_json: pd.Series) -> pd.DataFrame:
-    """Batch-parse the reference's JSON sample format into columns."""
+    """Batch-parse the reference's JSON sample wire format
+    ({"id","time","point":"POINT(lon lat)"[,"azimuth"]}) into columns.
+    `time` is epoch-millis or a "yyyy-MM-dd HH:mm:ssX" string
+    (markov/Sample.java:43-58)."""
     import json
 
     from .. import wkbio
@@ -69,6 +72,9 @@ def parse_sample_json(df_json: pd.Series) -> pd.DataFrame:
     for s in df_json:
         o = json.loads(s)
         lon, lat = wkbio.parse_wkt_point(o["point"])
-        recs.append((str(o["id"]), int(o["time"]), lat, lon,
+        t = o["time"]
+        if isinstance(t, str):
+            t = int(pd.Timestamp(t).timestamp() * 1000)
+        recs.append((str(o["id"]), int(t), lat, lon,
                      float(o.get("azimuth", np.nan))))
     return pd.DataFrame(recs, columns=["trace_id", "time", "lat", "lon", "azimuth"])

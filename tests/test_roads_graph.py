@@ -1,0 +1,88 @@
+"""Road config/filters, graph operators, sample wire-format parsing."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from barefoot_spark import graphx, roads
+from barefoot_spark.sources import samples as SS
+
+
+def test_edges_view_split(spark):
+    rdf = roads.roads_df(spark, roads.micro7_pdf())
+    edges = roads.edges_view(rdf).toPandas()
+    # 7 forward + 4 backward (gids 0,1,2,6 two-way)
+    assert sorted(edges["edge_id"]) == [0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 13]
+    bwd = edges[edges.edge_id == 1].iloc[0]
+    fwd = edges[edges.edge_id == 0].iloc[0]
+    assert bwd["source"] == fwd["target"] and bwd["target"] == fwd["source"]
+    # cost columns follow Time/TimePriority formulas
+    assert fwd["cost_time"] == pytest.approx(fwd["length"] * 3.6 / 100.0)
+
+
+def test_road_type_config_gate(spark):
+    pdf = roads.micro7_pdf()
+    pdf.loc[0, "class_id"] = 999       # unconfigured class
+    pdf.loc[1, "maxspeed_forward"] = 0  # needs default
+    rdf = roads.roads_df(spark, pdf)
+    types = spark.createDataFrame(roads.road_types_pdf())
+    out = roads.apply_road_type_config(rdf, types).toPandas()
+    assert 999 not in set(out["class_id"])          # gate drops it
+    assert len(out) == 6
+    row = out[out.gid == 1].iloc[0]
+    assert row["maxspeed_forward"] == 100            # defaulted from config
+    assert row["priority"] == 1.0                    # config priority
+
+
+def test_road_filters(spark):
+    rdf = roads.roads_df(spark, roads.micro7_pdf())
+    out = roads.filter_roads(rdf, exclude_classes=[0]).toPandas()
+    assert len(out) == 0
+    # polygon covering only the western half (lon < 11.015)
+    ring = [np.array([[10.99, 47.99], [11.015, 47.99], [11.015, 48.03],
+                      [10.99, 48.03], [10.99, 47.99]])]
+    ov = roads.filter_roads(rdf, polygon_rings=ring, mode="overlap").toPandas()
+    assert set(ov["gid"]) == {0, 1, 3, 4}  # roads with any vertex west of 11.015
+    cn = roads.filter_roads(rdf, polygon_rings=ring, mode="contain").toPandas()
+    assert set(cn["gid"]) == {0, 3}      # fully inside
+
+
+def test_successors_dataframe(spark):
+    rdf = roads.roads_df(spark, roads.micro7_pdf())
+    edges = roads.edges_view(rdf)
+    succ = graphx.successors(edges).toPandas().set_index("edge_id")
+    assert list(succ.loc[0, "successors"]) == [1, 2, 6]
+    assert list(succ.loc[6, "successors"]) == [8]
+
+
+def test_connected_components(spark):
+    # micro7 is one weak component; add an isolated road far away
+    pdf = roads.micro7_pdf()
+    extra = roads.roads_pdf_from_entries(
+        [(99, 100, 101, False, "LINESTRING(12.0 49.0, 12.01 49.0)")])
+    rdf = roads.roads_df(spark, pd.concat([pdf, extra], ignore_index=True))
+    edges = roads.edges_view(rdf)
+    comp = graphx.connected_components(edges).toPandas()
+    by_edge = dict(zip(comp["edge_id"], comp["component"]))
+    main = {by_edge[e] for e in [0, 1, 2, 4, 6, 8, 10, 12]}
+    assert len(main) == 1
+    assert by_edge[198] != next(iter(main))
+
+
+def test_parse_reference_sample_fixture():
+    """Parse the reference's actual wire-format fixture (x0001-015.json,
+    80 Munich samples with datetime-string times)."""
+    path = ("/root/reference/src/test/resources/com/bmwcarit/barefoot/"
+            "matcher/x0001-015.json")
+    arr = json.load(open(path))
+    out = SS.parse_sample_json(pd.Series([json.dumps(o) for o in arr]))
+    assert len(out) == 80
+    assert (out["trace_id"] == "\\x0001").all()
+    assert out["time"].is_monotonic_increasing
+    assert out["lat"].between(48.0, 48.3).all()
+    assert out["lon"].between(11.4, 11.7).all()
+    # '2014-09-10 06:54:07+0200' -> epoch ms
+    assert out["time"].iloc[0] == int(pd.Timestamp("2014-09-10 06:54:07+0200").timestamp() * 1000)

@@ -29,15 +29,17 @@ def main():
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = build_session(app=f"scale-{cpus}", master=f"local[{cpus}]",
-                          shuffle_partitions=max(cpus, 8))
+                          shuffle_partitions=max(cpus, 8),
+                          extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch":
+                                      "1048576"})
     spark.sparkContext.setLogLevel("ERROR")
 
     grid_n = 24
     idx = RoadIndex(roads.grid_pdf(grid_n, seed=42), res=16)
     idx_bc = spark.sparkContext.broadcast(idx)
-    n_tile = int(400_000_000 * sf)
+    n_tile = int(4_000_000_000 * sf)
     n_probe = int(150_000_000 * sf)
-    n_traces = max(8, int(20_000 * sf))
+    n_traces = max(8, int(10_000 * sf))
     lat_lo, lat_hi = 48.0, 48.0 + grid_n * 0.005
     lon_lo, lon_hi = 11.0, 11.0 + grid_n * 0.005
 
@@ -49,8 +51,12 @@ def main():
                             * F.lit(lon_hi - lon_lo))
                 .withColumnRenamed("id", "point_id"))
 
-    # warmup (JVM/codegen)
-    spark.range(1000).agg(F.sum("id")).collect()
+    # warmup: JIT-compile the exact codegen shapes + spin up python
+    # workers so the measured runs are steady-state
+    wt = T.assign_tiles(synth_points(1_000_000), res=15, parent_res=7)
+    wt.select(F.xxhash64("point_id", "cell", "cell_p7").alias("h")) \
+        .agg(F.expr("bit_xor(h)"), F.count("*")).collect()
+    J.radius_join(synth_points(100_000), idx_bc, 100.0).agg(F.count("*")).collect()
 
     results = {"cpus": cpus, "sf": sf, "stages": {}, "checksums": {}}
 
