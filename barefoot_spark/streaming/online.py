@@ -137,6 +137,57 @@ class OnlineMatcher:
         return dead
 
 
+def state_to_json(st: OnlineState) -> dict:
+    """KState JSON persistence analog (markov/KState.java:304-335,
+    format documented wiki/Home.md:619-707): per-step candidate vectors
+    with predecessor references, so state survives process boundaries
+    (the streaming checkpoint / redistribution story)."""
+    ids: dict[int, str] = {}
+    for si, (vec, _t) in enumerate(st.sequence):
+        for ci, c in enumerate(vec):
+            ids[id(c)] = f"{si}:{ci}"
+    seq = []
+    for si, (vec, t_ms) in enumerate(st.sequence):
+        vector = []
+        for ci, c in enumerate(vec):
+            vector.append({
+                "candid": ids[id(c)],
+                "predid": ids.get(id(c.pred), "") if c.pred is not None else "",
+                "eidx": c.eidx, "frac": c.frac, "lat": c.lat, "lon": c.lon,
+                "azi": c.azi, "filtprob": c.filtprob, "seqprob": c.seqprob,
+                "route": list(c.route) if c.route else None,
+                "route_len": c.route_len,
+            })
+        seq.append({"vector": vector, "time": int(t_ms)})
+    return {"sequence": seq, "last_time": st.last_time,
+            "last_lat": st.last_lat, "last_lon": st.last_lon,
+            "death_time_ms": st.death_time_ms}
+
+
+def state_from_json(obj: dict) -> OnlineState:
+    """Rehydrate an OnlineState (KState(JSONObject, factory) analog,
+    markov/KState.java:63-118)."""
+    st = OnlineState()
+    by_id: dict[str, _Cand] = {}
+    for si, elem in enumerate(obj["sequence"]):
+        vec = []
+        for cd in elem["vector"]:
+            c = _Cand(cd["eidx"], cd["frac"], cd["lat"], cd["lon"], cd["azi"])
+            c.filtprob = cd["filtprob"]
+            c.seqprob = cd["seqprob"]
+            c.route = list(cd["route"]) if cd["route"] is not None else None
+            c.route_len = cd["route_len"]
+            c.pred = by_id.get(cd["predid"]) if cd["predid"] else None
+            by_id[cd["candid"]] = c
+            vec.append(c)
+        st.sequence.append((vec, int(elem["time"])))
+    st.last_time = obj["last_time"]
+    st.last_lat = obj["last_lat"]
+    st.last_lon = obj["last_lon"]
+    st.death_time_ms = obj["death_time_ms"]
+    return st
+
+
 def process_batch(matcher: OnlineMatcher, pdf) -> list[tuple]:
     """foreachBatch body: feed a micro-batch (sorted by time within each
     trace) through the online matcher; returns published estimate rows."""
