@@ -37,7 +37,7 @@ def main():
     grid_n = 24
     idx = RoadIndex(roads.grid_pdf(grid_n, seed=42), res=16)
     idx_bc = spark.sparkContext.broadcast(idx)
-    n_tile = int(4_000_000_000 * sf)
+    n_tile = int(12_000_000_000 * sf)
     n_probe = int(150_000_000 * sf)
     n_traces = max(8, int(10_000 * sf))
     lat_lo, lat_hi = 48.0, 48.0 + grid_n * 0.005
@@ -90,6 +90,24 @@ def main():
     results["stages"]["radius_join"] = {"rows": n_probe, "sec": round(dt, 3),
                                         "rows_per_sec": round(n_probe / dt)}
     results["checksums"]["radius_join"] = cs
+
+    # 2b. Arrow-pipe floor: identical input through a no-op kernel. In
+    # single-JVM local mode the JVM->Python Arrow feed tops out at a
+    # constant ~3M rows/s regardless of cores (per-executor pipeline on
+    # a real cluster, so the floor divides away at N executors); measure
+    # it so the report can separate engine scaling from harness floor.
+    import pyarrow as pa
+    import pyspark.sql.types as Ty
+
+    def passthrough(it):
+        for rb in it:
+            yield pa.RecordBatch.from_arrays([pa.array([rb.num_rows])], names=["n"])
+
+    one = Ty.StructType([Ty.StructField("n", Ty.LongType())])
+    dt, _ = best_of(lambda: synth_points(n_probe).mapInArrow(passthrough, one)
+                    .agg(F.sum("n")).collect() and None)
+    results["stages"]["arrow_pipe_floor"] = {"rows": n_probe, "sec": round(dt, 3),
+                                             "rows_per_sec": round(n_probe / dt)}
 
     # 3. Viterbi match
     geotags = SS.synth_traces(idx, n_traces=n_traces, samples_per_trace=60, seed=42)
