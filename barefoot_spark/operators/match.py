@@ -514,8 +514,17 @@ def match_traces(samples: DataFrame, idx_bc, params: MatcherParams | None = None
     if "azimuth" not in samples.columns:
         samples = samples.withColumn("azimuth", F.lit(float("nan")))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(batches) -> pd.DataFrame:
+        # one invocation per PARTITION (hash-partitioned by trace_id, so
+        # every trace arrives whole): concatenating the partition's Arrow
+        # batches and looping traces here costs one python roundtrip per
+        # partition instead of one per trace (groupBy().applyInPandas
+        # pays per-group overhead that dominates with many small traces)
         idx = idx_bc.value
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         rows = []
         for tid, g in pdf.groupby("trace_id", sort=False):
             rows.extend(match_trace(
@@ -523,8 +532,9 @@ def match_traces(samples: DataFrame, idx_bc, params: MatcherParams | None = None
                 g["time"].to_numpy(np.int64),
                 g["lat"].to_numpy(np.float64), g["lon"].to_numpy(np.float64),
                 g["azimuth"].to_numpy(np.float64), params))
-        return pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA.fields])
+        yield pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA.fields])
 
-    if num_partitions:
-        samples = samples.repartition(num_partitions, "trace_id")
-    return samples.groupBy("trace_id").applyInPandas(kernel, MATCH_SCHEMA)
+    parts = [num_partitions] if num_partitions else []
+    cols = ["trace_id", "sample_id", "time", "lat", "lon", "azimuth"]
+    return samples.select(*cols).repartition(*parts, "trace_id") \
+        .mapInPandas(kernel, MATCH_SCHEMA)
