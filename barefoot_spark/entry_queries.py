@@ -425,6 +425,30 @@ def oracle_dbcan_events(sf_dir):
         "(SELECT event_id AS id, value FROM events)", 0.01, 5)
 
 
+def q_dbcan_core_events(spark, sf_dir):
+    """Exact-DBSCAN 1-D (reference DBCAN.java:48-100 core-count
+    semantics) over the events value column — window-only pipeline."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select(F.col("event_id").alias("id"), "value")
+    return A.dbcan_1d_core(ev, eps=0.01, min_pts=5)
+
+
+def oracle_dbcan_core_events(sf_dir):
+    return A.dbcan_1d_core_oracle_sql(
+        "(SELECT event_id AS id, value FROM events)", 0.01, 5)
+
+
+def q_dbrcan_function(spark, sf_dir):
+    """DBRCAN log-density step functions (DBRCAN.java:395-477) per user
+    bucket over the events value residue ring — applyInPandas kernel
+    (hierarchical clustering loop is not SQL-expressible -> rows-only)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select((F.col("user_id") % 8).alias("group_id"), "value")
+    out = A.dbrcan_function_df(ev, modulo=1.0, eps=0.02, buffer=0.0)
+    return out.select("group_id", F.round("x", 9).alias("x"), "minimum") \
+        .orderBy("group_id", "x", F.desc("minimum"))
+
+
 def q_minhash_dedup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (DP.minhash_dedup(docs, jaccard_threshold=0.5)
@@ -463,6 +487,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "ann_topk": q_ann_topk,
     "dbcan_events": q_dbcan_events,
+    "dbcan_core_events": q_dbcan_core_events,
+    "dbrcan_function": q_dbrcan_function,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "image_verify": q_image_verify,
@@ -484,6 +510,7 @@ ORACLES = {
     "quality_filter": oracle_quality_filter,
     "ann_topk": oracle_ann_topk,
     "dbcan_events": oracle_dbcan_events,
+    "dbcan_core_events": oracle_dbcan_core_events,
     # viterbi_match / minhash_dedup / simhash_dedup / image_verify:
     # non-SQL-expressible (stateful kernel or seeded signature UDFs) ->
     # rows-only check per the driver contract

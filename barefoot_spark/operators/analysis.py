@@ -12,6 +12,8 @@ DBRCAN rotates the ring at the largest gap and reuses DBCAN.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -158,6 +160,292 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
            .select(F.col(id_col),
                    F.coalesce("cluster_id", "border_label").alias("cluster_id")))
     return out
+
+
+def dbcan_1d_core(values: DataFrame, eps: float, min_pts: int,
+                  value_col="value", id_col="id") -> DataFrame:
+    """Exact-DBSCAN 1-D clustering (the reference's DBCAN semantics,
+    analysis/DBCAN.java:48-100): an element is *core* iff >= min_pts
+    elements (incl. itself, with multiplicity) lie within [v-eps, v+eps];
+    clusters are maximal chains of core elements with consecutive core
+    gap <= eps; non-core elements within eps of a core join the cluster
+    of the nearest core (tie -> the lower/left core — a deterministic
+    rule replacing Java's HashSet iteration order). Noise -> NULL.
+
+    Pure window functions (RANGE frames), no UDF — so it has an exact
+    DuckDB oracle twin (dbcan_1d_core_oracle_sql).
+    """
+    # fractional RANGE frame: PySpark's rangeBetween only takes ints, so
+    # the eps-neighbor count goes through the SQL window expression
+    wo = Window.orderBy(value_col, id_col)
+    d = (values
+         .withColumn("n_eps", F.expr(
+             f"count(*) OVER (ORDER BY {value_col} RANGE BETWEEN {eps!r} "
+             f"PRECEDING AND {eps!r} FOLLOWING)"))
+         .withColumn("is_core", F.col("n_eps") >= min_pts))
+    # cluster segmentation over cores: running count of core-gap breaks
+    core_val = F.when(F.col("is_core"), F.col(value_col))
+    d = d.withColumn("prev_core", F.last(core_val, ignorenulls=True).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)))
+    d = d.withColumn(
+        "core_break",
+        F.when(F.col("is_core") &
+               (F.col("prev_core").isNull() |
+                (F.col(value_col) - F.col("prev_core") > eps)), 1).otherwise(0))
+    d = d.withColumn("core_seq", F.sum("core_break").over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+    # cluster id = min element id among the cluster's core members
+    wc = Window.partitionBy("core_seq")
+    d = d.withColumn("core_cluster",
+                     F.when(F.col("is_core"),
+                            F.min(F.when(F.col("is_core"), F.col(id_col))).over(wc)))
+    # border attachment: nearest core left/right within eps; tie -> left
+    d = d.withColumn("lc_val", F.last(core_val, ignorenulls=True).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)))
+    d = d.withColumn("lc_lbl", F.last(F.when(F.col("is_core"), F.col("core_cluster")),
+                                      ignorenulls=True).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)))
+    d = d.withColumn("rc_val", F.first(core_val, ignorenulls=True).over(
+        wo.rowsBetween(1, Window.unboundedFollowing)))
+    d = d.withColumn("rc_lbl", F.first(F.when(F.col("is_core"), F.col("core_cluster")),
+                                       ignorenulls=True).over(
+        wo.rowsBetween(1, Window.unboundedFollowing)))
+    ld = F.col(value_col) - F.col("lc_val")
+    rd = F.col("rc_val") - F.col(value_col)
+    border = (F.when((ld <= eps) & ((rd > eps) | F.col("rc_val").isNull()
+                                    | (ld <= rd)), F.col("lc_lbl"))
+              .when(rd <= eps, F.col("rc_lbl")))
+    return d.select(
+        id_col, value_col,
+        F.when(F.col("is_core"), F.col("core_cluster")).otherwise(border)
+        .alias("cluster_id"))
+
+
+def dbcan_1d_core_oracle_sql(table: str, eps: float, min_pts: int,
+                             value_col="value", id_col="id") -> str:
+    """DuckDB twin of dbcan_1d_core (same window algebra)."""
+    e = f"{eps!r}e0"
+    return f"""
+        WITH b AS (
+            SELECT {id_col} AS id, {value_col} AS value,
+                   count(*) OVER (ORDER BY {value_col}
+                       RANGE BETWEEN {e} PRECEDING AND {e} FOLLOWING)
+                       >= {min_pts} AS is_core
+            FROM {table}
+        ), s AS (
+            SELECT id, value, is_core,
+                   last_value(CASE WHEN is_core THEN value END IGNORE NULLS) OVER
+                       (ORDER BY value, id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_core
+            FROM b
+        ), g AS (
+            SELECT *, sum(CASE WHEN is_core AND (prev_core IS NULL
+                          OR value - prev_core > {e}) THEN 1 ELSE 0 END) OVER
+                       (ORDER BY value, id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS core_seq
+            FROM s
+        ), c AS (
+            SELECT *, CASE WHEN is_core THEN
+                       min(CASE WHEN is_core THEN id END) OVER
+                           (PARTITION BY core_seq) END AS core_cluster
+            FROM g
+        ), n AS (
+            SELECT *,
+                   last_value(CASE WHEN is_core THEN value END IGNORE NULLS) OVER
+                       (ORDER BY value, id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS lc_val,
+                   last_value(CASE WHEN is_core THEN core_cluster END IGNORE NULLS) OVER
+                       (ORDER BY value, id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS lc_lbl,
+                   first_value(CASE WHEN is_core THEN value END IGNORE NULLS) OVER
+                       (ORDER BY value, id ROWS BETWEEN 1 FOLLOWING
+                        AND UNBOUNDED FOLLOWING) AS rc_val,
+                   first_value(CASE WHEN is_core THEN core_cluster END IGNORE NULLS) OVER
+                       (ORDER BY value, id ROWS BETWEEN 1 FOLLOWING
+                        AND UNBOUNDED FOLLOWING) AS rc_lbl
+            FROM c
+        )
+        SELECT id, value,
+               CASE WHEN is_core THEN core_cluster
+                    WHEN value - lc_val <= {e} AND (rc_val IS NULL
+                         OR rc_val - value > {e} OR value - lc_val <= rc_val - value)
+                         THEN lc_lbl
+                    WHEN rc_val - value <= {e} THEN rc_lbl
+               END AS cluster_id
+        FROM n
+    """
+
+
+# ---------------------------------------------------------------------------
+# DBRCAN numpy kernels: exact cluster / bounds / log-density function
+# (semantics of analysis/DBRCAN.java:303-477; used per-group via
+# applyInPandas — the per-partition kernel pattern, no per-row Python)
+# ---------------------------------------------------------------------------
+
+_EPS10 = 1e-10
+
+
+def _eps_round(v: float) -> float:
+    # DBRCAN.epsilonRound (DBRCAN.java:89-95)
+    f = math.floor(v)
+    return f + round((v - f) * 1e10) / 1e10
+
+
+def _ring_cluster(values: np.ndarray, modulo: float, eps: float,
+                  minimum: int) -> list[np.ndarray]:
+    """Exact DBCAN over the residue ring (DBRCAN.cluster,
+    DBRCAN.java:303-307 + DBCAN.java:48-100): returns clusters as arrays
+    of ORIGINAL values (multiplicity kept). Vectorized neighbor counts
+    via sorted residues + searchsorted; seed expansion over unique
+    residues (cores chain when ring-gap <= eps)."""
+    if len(values) == 0:
+        return []
+    resid = np.mod(np.mod(values, modulo) + modulo, modulo)
+    order = np.argsort(resid, kind="stable")
+    rs = resid[order]
+    uniq, inv, counts = np.unique(np.round(rs, 12), return_inverse=True,
+                                  return_counts=True)
+    m = len(uniq)
+    # neighbor count within ring distance eps (inclusive, eps-tolerant)
+    tol = eps + _EPS10
+    ext = np.concatenate([uniq, uniq + modulo, uniq + 2 * modulo])
+    cext = np.concatenate([counts, counts, counts])
+    cum = np.concatenate([[0], np.cumsum(cext)])
+    lo = np.searchsorted(ext, uniq + modulo - tol, side="left")
+    hi = np.searchsorted(ext, uniq + modulo + tol, side="right")
+    n_eps = cum[hi] - cum[lo]
+    core = n_eps >= minimum
+    if not core.any():
+        return []
+    # segment cores into chains: ring-gap between consecutive cores
+    core_idx = np.flatnonzero(core)
+    cu = uniq[core_idx]
+    gaps = np.diff(cu)
+    breaks = np.flatnonzero(gaps > tol) + 1
+    chains = np.split(np.arange(len(core_idx)), breaks)
+    # wrap: if first and last core chain connect around the ring, merge
+    if len(chains) > 1 and (cu[0] + modulo - cu[-1]) <= tol:
+        chains[0] = np.concatenate([chains[-1], chains[0]])
+        chains = chains[:-1]
+    label = np.full(m, -1, dtype=np.int64)
+    for ci, chain in enumerate(chains):
+        label[core_idx[chain]] = ci
+    # borders: non-core within eps of a core -> nearest core (tie: lower
+    # residue; deterministic replacement for Java iteration order)
+    non_core = np.flatnonzero(~core)
+    if len(non_core) and len(core_idx):
+        cu_ext = np.concatenate([cu, cu + modulo, cu + 2 * modulo])
+        lbl_ext = np.concatenate([label[core_idx]] * 3)
+        pos = np.searchsorted(cu_ext, uniq[non_core] + modulo)
+        left = np.clip(pos - 1, 0, len(cu_ext) - 1)
+        right = np.clip(pos, 0, len(cu_ext) - 1)
+        dl = uniq[non_core] + modulo - cu_ext[left]
+        dr = cu_ext[right] - (uniq[non_core] + modulo)
+        use_left = (dl <= tol) & ((dr > tol) | (dl <= dr))
+        use_right = (~use_left) & (dr <= tol)
+        label[non_core[use_left]] = lbl_ext[left[use_left]]
+        label[non_core[use_right]] = lbl_ext[right[use_right]]
+    out = []
+    row_label = label[inv]          # per sorted element
+    orig = values[order]
+    for ci in range(len(chains)):
+        out.append(orig[row_label == ci])
+    return out
+
+
+def dbrcan_bounds(cluster_values, modulo: float, eps: float,
+                  buffer: float = 0.0):
+    """Left/right border of a ring density cluster (DBRCAN.bounds,
+    DBRCAN.java:331-367): the maximal internal ring-gap > eps defines
+    the cut; bounds = (right_of_gap - buffer, left_of_gap + buffer),
+    eps-rounded. Returns None when no gap > eps exists (cluster covers
+    the whole ring)."""
+    vals = np.asarray(cluster_values, dtype=np.float64)
+    resid = np.unique(np.round(np.mod(np.mod(vals, modulo) + modulo, modulo), 12))
+    if len(resid) == 1:
+        v = resid[0]
+        return (_eps_round((v - buffer) % modulo), _eps_round((v + buffer) % modulo))
+    gaps = np.diff(resid)
+    wrap = resid[0] + modulo - resid[-1]
+    all_gaps = np.concatenate([[wrap], gaps])   # gap[i] = dist(prev, resid[i])
+    best, left, right = None, None, None
+    for i in range(len(resid)):
+        d = all_gaps[i]
+        prev = resid[-1] if i == 0 else resid[i - 1]
+        if (best is None or d - best >= _EPS10) and (d - eps >= _EPS10):
+            best, left, right = d, prev, resid[i]
+    if left is None:
+        return None
+    return (_eps_round((right - buffer) % modulo), _eps_round((left + buffer) % modulo))
+
+
+def dbrcan_function(values, modulo: float, eps: float, buffer: float = 0.0):
+    """Log-scaled density step function over the residue ring
+    (DBRCAN.function, DBRCAN.java:395-477): cluster at minimum =
+    1,2,4,... until empty; each cluster contributes a step [start] =
+    max(minimum) and [end] = min(minimum/2); ring-covering clusters
+    raise the global floor. Returns [(x, minimum), ...] sorted by x
+    (same tuple order as the reference)."""
+    vals = np.asarray(values, dtype=np.float64)
+    clusters = []
+    minimum = 1
+    while True:
+        found = _ring_cluster(vals, modulo, eps, minimum)
+        for c in found:
+            clusters.append((c, minimum))
+        if not found:
+            break
+        minimum *= 2
+    starts: dict = {}
+    ends: dict = {}
+    floor = 0
+
+    def _key(x):
+        return round(x, 10)
+
+    for cvals, mini in clusters:
+        b = dbrcan_bounds(cvals, modulo, eps, buffer)
+        if b is None:
+            floor = mini
+        else:
+            s, e = b
+            ks, ke = _key(s), _key(e)
+            starts[ks] = max(starts.get(ks, mini), mini)
+            ends[ke] = min(ends.get(ke, mini // 2), mini // 2)
+    fn = [(k, max(floor, v)) for k, v in starts.items()]
+    fn += [(k, max(floor, v)) for k, v in ends.items()
+           if buffer == 0 or k not in starts]
+    fn.sort(key=lambda t: (t[0], -t[1]))
+    if not fn:
+        fn = [(0.0, floor)]
+    elif abs(fn[0][0]) >= _EPS10:
+        fn.insert(0, (0.0, max(floor, fn[-1][1])))
+    return fn
+
+
+def dbrcan_function_df(values: DataFrame, modulo: float, eps: float,
+                       buffer: float = 0.0, group_col="group_id",
+                       value_col="value") -> DataFrame:
+    """Distributed DBRCAN density functions: one step function per
+    group key via applyInPandas (groups shuffle once on group_col; the
+    kernel is the numpy hierarchy above). Returns
+    (group_id, x, minimum)."""
+    import pyspark.sql.types as T
+
+    gtype = values.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype), T.StructField("x", T.DoubleType()),
+        T.StructField("minimum", T.IntegerType())])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        fn = dbrcan_function(pdf[value_col].to_numpy(np.float64),
+                             modulo, eps, buffer)
+        return pd.DataFrame({
+            group_col: [pdf[group_col].iloc[0]] * len(fn),
+            "x": [x for x, _ in fn],
+            "minimum": [m for _, m in fn]})
+
+    return values.groupBy(group_col).applyInPandas(kernel, schema)
 
 
 def dbrcan_mod(values: DataFrame, modulus: float, eps: float, min_pts: int,

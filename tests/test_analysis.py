@@ -68,3 +68,98 @@ def test_dbrcan_wraps_midnight(spark):
     assert len(set(c[6:9])) == 1 and c[6] >= 0 and c[6] != c[0]
     # isolated 6.0 is noise
     assert c[9] == -1
+
+def test_dbcan_1d_core_matches_duckdb_oracle(spark):
+    """Exact-DBSCAN 1-D (reference DBCAN.java:48-100 semantics) — Spark
+    window pipeline vs the DuckDB twin on mixed dense/sparse data."""
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(0, 0.05, 40), rng.normal(2, 0.03, 25),
+                           rng.uniform(0, 5, 15)])
+    pdf = pd.DataFrame({"id": np.arange(len(vals)), "value": vals})
+    out = A.dbcan_1d_core(spark.createDataFrame(pdf), eps=0.1, min_pts=5) \
+        .toPandas().sort_values("id").reset_index(drop=True)
+    import duckdb
+    con = duckdb.connect()
+    con.register("vals", pdf)
+    want = con.execute(A.dbcan_1d_core_oracle_sql("vals", 0.1, 5)) \
+        .df().sort_values("id").reset_index(drop=True)
+    got_c = out["cluster_id"].fillna(-1).astype(int).tolist()
+    want_c = want["cluster_id"].fillna(-1).astype(int).tolist()
+    assert got_c == want_c
+    assert len({c for c in got_c if c >= 0}) >= 2
+
+
+def test_dbcan_1d_core_density_not_gap_run():
+    """Distinguishes exact-core semantics from gap-run: 4 points spaced
+    exactly eps apart with min_pts=4 -> every point has only 3 eps-
+    neighbors -> all noise (DBSCAN), whereas gap-run would cluster."""
+    import duckdb
+    pdf = pd.DataFrame({"id": [0, 1, 2, 3], "value": [0.0, 0.1, 0.2, 0.3]})
+    con = duckdb.connect()
+    con.register("vals", pdf)
+    out = con.execute(A.dbcan_1d_core_oracle_sql("vals", 0.1, 4)).df()
+    assert out["cluster_id"].isna().all()
+
+
+def test_dbrcan_bounds_reference_goldens():
+    """DBRCANTest.testBounds (DBRCANTest.java:424-462) verbatim."""
+    cases = [
+        ([-0.95, -0.3, 0.25, 1.45, 1.5], 0.6, 0.075, 0.0, (0.25, 0.3)),
+        ([0.0, 1.2], 0.6, 0.075, 0.0, (0.0, 0.0)),
+        ([0.0, 1.2, 1.85], 0.6, 0.075, 0.0, (0.0, 0.05)),
+        ([-0.1, 0.0, 0.5, 1.2, 1.9], 0.6, 0.1, 0.0, (0.5, 0.1)),
+        ([-0.1, 0.0, 0.5, 1.2, 1.9], 0.3, 0.1, 0.0, None),
+    ]
+    for vals, m, e, b, want in cases:
+        got = A.dbrcan_bounds(vals, m, e, b)
+        if want is None:
+            assert got is None, (vals, got)
+        else:
+            assert got is not None
+            assert abs(got[0] - want[0]) < 1e-10 and abs(got[1] - want[1]) < 1e-10
+
+
+DBRCAN_F_LIST = [-1.9, -1.7, -1.4, -1.25, -1.2, 0.05, 0.7, 0.75, 0.9, 1.2,
+                 1.3, 1.7, 2.0, 2.3, 2.35, 2.8, 3.1, 3.15, 3.2, 3.5, 3.55,
+                 3.6, 5.4, 5.5, 6.0]
+
+
+def test_dbrcan_function_reference_goldens():
+    """DBRCANTest.testFunction (DBRCANTest.java:505-597) verbatim."""
+    cases = [
+        ([], 2.4, 0.1, 0.0, [(0.0, 0)]),
+        ([-1.9, -1.75, -1.7, 0.7, 0.9, 2.8, 3.1, 3.15, 3.2, 5.4, 5.5, 5.8],
+         2.4, 0.1, 0.0,
+         [(0.0, 0), (0.4, 2), (0.5, 4), (0.6, 8), (0.8, 4), (0.9, 2), (1.0, 0)]),
+        (DBRCAN_F_LIST, 2.4, 0.1, 0.0,
+         [(0.0, 2), (0.05, 0), (0.4, 2), (0.5, 4), (0.6, 8), (0.9, 2),
+          (1.0, 8), (1.3, 0), (1.7, 1), (1.7, 0), (2.0, 1), (2.0, 0), (2.3, 2)]),
+        (DBRCAN_F_LIST, 2.4, 0.1, 0.05,
+         [(0.0, 2), (0.1, 0), (0.35, 2), (0.45, 4), (0.55, 8), (0.95, 8),
+          (1.35, 0), (1.65, 1), (1.75, 0), (1.95, 1), (2.05, 0), (2.25, 2)]),
+    ]
+    for vals, m, e, b, want in cases:
+        got = A.dbrcan_function(vals, m, e, b)
+        assert len(got) == len(want), (got, want)
+        for g, w in zip(got, want):
+            assert abs(g[0] - w[0]) < 1e-10 and g[1] == w[1], (got, want)
+
+
+def test_dbrcan_function_df_groups(spark):
+    """Distributed per-group density functions == the kernel run
+    group-by-group on the driver."""
+    g1 = DBRCAN_F_LIST
+    g2 = [-1.9, -1.75, -1.7, 0.7, 0.9, 2.8, 3.1, 3.15, 3.2, 5.4, 5.5, 5.8]
+    pdf = pd.DataFrame({
+        "group_id": ["a"] * len(g1) + ["b"] * len(g2),
+        "value": g1 + g2})
+    out = A.dbrcan_function_df(spark.createDataFrame(pdf), modulo=2.4,
+                               eps=0.1, buffer=0.0).toPandas()
+    for gid, vals in (("a", g1), ("b", g2)):
+        want = A.dbrcan_function(vals, 2.4, 0.1, 0.0)
+        sub = out[out.group_id == gid].sort_values(
+            ["x", "minimum"], ascending=[True, False])
+        got = list(zip(sub.x, sub.minimum))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert abs(g[0] - w[0]) < 1e-10 and g[1] == w[1]
