@@ -141,9 +141,12 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
     for _ in range(max_rounds):
         nbr_min = (cc_edges.join(labels, cc_edges["b"] == labels["node"])
                    .groupBy("a").agg(F.min("label").alias("nbr_label")))
+        # localCheckpoint: plan references `labels` twice per round
+        # (join + convergence compare) -> geometric plan growth without
+        # lineage truncation (see graphx.connected_components)
         new_labels = (labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
                       .select("node", F.least("label", F.coalesce("nbr_label", "label"))
-                              .alias("label")).cache())
+                              .alias("label")).localCheckpoint(eager=True))
         changed = (new_labels.alias("n").join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).limit(1).count())
         labels = new_labels

@@ -86,3 +86,31 @@ def test_parse_reference_sample_fixture():
     assert out["lon"].between(11.4, 11.7).all()
     # '2014-09-10 06:54:07+0200' -> epoch ms
     assert out["time"].iloc[0] == int(pd.Timestamp("2014-09-10 06:54:07+0200").timestamp() * 1000)
+
+
+def test_connected_components_star_equivalence(spark):
+    """large-star/small-star CC == label propagation on a random graph
+    with many components, a long path (high diameter), and the micro7
+    map — the scale algorithm must be a drop-in replacement."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    # random sparse graph: 120 vertices, 110 edges -> several components
+    src = rng.integers(0, 120, 110)
+    dst = rng.integers(0, 120, 110)
+    # plus a 40-vertex path (diameter stress: label propagation needs
+    # ~40 rounds; star finishes in O(log^2))
+    psrc = np.arange(200, 239)
+    pdst = np.arange(201, 240)
+    eid = np.arange(len(src) + len(psrc))
+    pdf = pd.DataFrame({
+        "edge_id": eid,
+        "source": np.concatenate([src, psrc]),
+        "target": np.concatenate([dst, pdst])})
+    edges = spark.createDataFrame(pdf)
+    lp = graphx.connected_components(edges, max_rounds=60).toPandas()
+    st = graphx.connected_components_star(edges).toPandas()
+    lp_m = dict(zip(lp["edge_id"], lp["component"]))
+    st_m = dict(zip(st["edge_id"], st["component"]))
+    assert lp_m == st_m
+    # path is one component labeled by its min vertex
+    assert st_m[len(src)] == 200
