@@ -414,6 +414,25 @@ def oracle_ann_topk(sf_dir):
     """
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN run at nprobe = n_lists (full probe),
+    which is exact by construction — every vector sits in exactly one
+    inverted list and all lists are probed — so it shares ann_topk's
+    DuckDB oracle. The recall/efficiency trade-off at nprobe < n_lists
+    is covered by pytest (test_ivf_topk_recall_on_clustered_data)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(
+        emb.filter(F.col("vec_id") < 256).orderBy("vec_id")
+        .toPandas()["embedding"].to_numpy())
+    C = DP.kmeans_centroids(sample, k=8, seed=42)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    out = DP.ivf_topk(emb, queries, k=10, centroids=C, nprobe=8)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rnk"),
+                      F.round("cosine", 6).alias("cosine"))
+
+
 def q_dbcan_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
         .select(F.col("event_id").alias("id"), "value")
@@ -486,6 +505,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
     "ann_topk": q_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "dbcan_events": q_dbcan_events,
     "dbcan_core_events": q_dbcan_core_events,
     "dbrcan_function": q_dbrcan_function,
@@ -509,6 +529,7 @@ ORACLES = {
     "text_stats": oracle_text_stats,
     "quality_filter": oracle_quality_filter,
     "ann_topk": oracle_ann_topk,
+    "ivf_ann_topk": oracle_ann_topk,
     "dbcan_events": oracle_dbcan_events,
     "dbcan_core_events": oracle_dbcan_core_events,
     # viterbi_match / minhash_dedup / simhash_dedup / image_verify:

@@ -280,6 +280,90 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def kmeans_centroids(vectors: np.ndarray, k: int, seed: int = 42,
+                     iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over a (driver-side) sample:
+    unit-normalize, k-means++-style seeded init, fixed iteration count,
+    assignment by max dot product. The centroid matrix is tiny
+    (k x dim) — it broadcasts to every executor; training on a sample
+    is the standard IVF recipe (the index quality degrades gracefully
+    with sample size, the search stays exact within probed lists)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(vectors, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = len(X)
+    k = min(k, n)
+    # k-means++ init (distance = 1 - cos)
+    centroids = np.empty((k, X.shape[1]))
+    centroids[0] = X[rng.integers(n)]
+    d2 = 1.0 - X @ centroids[0]
+    for i in range(1, k):
+        p = np.maximum(d2, 1e-12)
+        centroids[i] = X[rng.choice(n, p=p / p.sum())]
+        d2 = np.minimum(d2, 1.0 - X @ centroids[i])
+    for _ in range(iters):
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 1e-12:
+                    centroids[c] = m / nm
+    return centroids
+
+
+def _ivf_assign_udf(centroids_bc, top: int = 1):
+    """pandas UDF: nearest `top` centroid list ids by dot product
+    (vectors scored against the broadcast centroid matrix in one
+    matmul per Arrow batch)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        C = centroids_bc.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        scores = m @ C.T
+        if top == 1:
+            ids = np.argmax(scores, axis=1)[:, None]
+        else:
+            t = min(top, scores.shape[1])
+            part = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+            order = np.argsort(-np.take_along_axis(scores, part, axis=1), axis=1)
+            ids = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(ids.astype(np.int64)))
+    return _udf
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+             centroids: np.ndarray, nprobe: int = 4,
+             id_col="vec_id", vec_col="embedding",
+             q_id_col="q_id", q_vec_col="q_vec") -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    coarse-quantizer centroid (one list id — the partition key of the
+    inverted lists); each query probes its `nprobe` nearest lists and
+    exact cosine re-ranks inside them. At scale the embedding table is
+    written partitioned/bucketed by list_id so a probe reads only
+    nprobe/k of the data (partition pruning on the equi-join key);
+    recall rises monotonically with nprobe and hits 1.0 at nprobe = k
+    (full scan). Scale path beyond lsh_bucket_topk: list population is
+    data-adaptive (k-means), so skewed embedding distributions don't
+    collapse into a few hot buckets the way static hyperplane codes do."""
+    spark = embeddings.sparkSession
+    cbc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    emb_l = embeddings.withColumn(
+        "list_id", _ivf_assign_udf(cbc, top=1)(F.col(vec_col))[0])
+    q_l = (queries.withColumn("probe", _ivf_assign_udf(cbc, top=nprobe)(F.col(q_vec_col)))
+           .withColumn("list_id", F.explode("probe")).drop("probe"))
+    joined = emb_l.join(F.broadcast(q_l.select(q_id_col, q_vec_col, "list_id")),
+                        "list_id")
+    sim = _cosine_cols(F.col(vec_col).cast("array<double>"),
+                       F.col(q_vec_col).cast("array<double>"))
+    scored = joined.select(F.col(q_id_col), F.col(id_col), sim.alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                     n_planes: int = 10, seed: int = 42, dim: int = 64,
                     id_col="vec_id", vec_col="embedding") -> DataFrame:

@@ -126,3 +126,47 @@ def test_doc_fingerprint_deterministic(spark, docs):
         assert list(a[i]) == list(b[i])
     # identical docs share fingerprints
     assert list(a[1]) == list(a[2])
+
+
+def test_ivf_topk_full_probe_is_exact(spark):
+    """IVF with nprobe == n_centroids scans every inverted list ->
+    must equal brute force exactly (the correctness anchor of the
+    approximation knob)."""
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 64)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(25, 64)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": [0, 30, 60], "q_vec": [vecs[0], vecs[30], vecs[60]]}))
+    C = D.kmeans_centroids(vecs, k=8, seed=42)
+    exact = D.brute_force_topk(emb, queries, k=5).toPandas() \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    ivf = D.ivf_topk(emb, queries, k=5, centroids=C, nprobe=8).toPandas() \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert exact["vec_id"].tolist() == ivf["vec_id"].tolist()
+    assert np.allclose(exact["cosine"], ivf["cosine"])
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """nprobe=2 of 8 lists on well-clustered data: recall@5 >= 0.9
+    (queries live inside clusters; the probed lists hold their
+    neighbors)."""
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 64)) * 4
+    vecs = np.concatenate([c + rng.normal(size=(30, 64)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf)
+    q_ids = [0, 35, 70, 105, 140]
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": q_ids, "q_vec": [vecs[i] for i in q_ids]}))
+    C = D.kmeans_centroids(vecs, k=8, seed=42)
+    exact = D.brute_force_topk(emb, queries, k=5).toPandas()
+    ivf = D.ivf_topk(emb, queries, k=5, centroids=C, nprobe=2).toPandas()
+    hits = total = 0
+    for q in q_ids:
+        e = set(exact[exact.q_id == q]["vec_id"])
+        a = set(ivf[ivf.q_id == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.9
