@@ -155,8 +155,74 @@ def direct(lat1, lon1, azi1, s12):
     return lat2, lon2, azi2
 
 
+def _inverse_scalar_s12(lat1, lon1, lat2, lon2):
+    """Scalar Vincenty distance — same formula/iteration as `inverse`
+    but via the math module. For arrays of a handful of elements the
+    numpy path pays ~200µs of ufunc/errstate overhead per call; the
+    matcher's per-step carry-over checks hit exactly that regime, so
+    tiny batches route here (identical math, same convergence test)."""
+    import math as m
+    if lat1 == lat2 and lon1 == lon2:
+        return 0.0
+    f = WGS84_F
+    L = m.radians(lon2 - lon1)
+    U1 = m.atan((1 - f) * m.tan(m.radians(lat1)))
+    U2 = m.atan((1 - f) * m.tan(m.radians(lat2)))
+    sinU1, cosU1 = m.sin(U1), m.cos(U1)
+    sinU2, cosU2 = m.sin(U2), m.cos(U2)
+    cU1cU2 = cosU1 * cosU2
+    sU1sU2 = sinU1 * sinU2
+    sU1cU2 = sinU1 * cosU2
+    cU1sU2 = cosU1 * sinU2
+    lam = L
+    for _ in range(_MAXIT_INV):
+        sl, cl = m.sin(lam), m.cos(lam)
+        ss = m.hypot(cosU2 * sl, cU1sU2 - sU1cU2 * cl)
+        cs = sU1sU2 + cU1cU2 * cl
+        sig = m.atan2(ss, cs)
+        sa = cU1cU2 * sl / ss if ss != 0 else 0.0
+        c2a = 1.0 - sa * sa
+        c2sm = cs - 2 * sU1sU2 / c2a if c2a != 0 else 0.0
+        C = f / 16 * c2a * (4 + f * (4 - 3 * c2a))
+        lam_new = L + (1 - C) * f * sa * (
+            sig + C * ss * (c2sm + C * cs * (-1 + 2 * c2sm * c2sm)))
+        done = abs(lam_new - lam) < 1e-12
+        lam = lam_new
+        if done:
+            break
+    sl, cl = m.sin(lam), m.cos(lam)
+    sin_sig = m.hypot(cosU2 * sl, cU1sU2 - sU1cU2 * cl)
+    cos_sig = sU1sU2 + cU1cU2 * cl
+    sigma = m.atan2(sin_sig, cos_sig)
+    sin_alpha = cU1cU2 * sl / sin_sig if sin_sig != 0 else 0.0
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    cos_2sigm = cos_sig - 2 * sU1sU2 / cos2_alpha if cos2_alpha != 0 else 0.0
+    u2 = cos2_alpha * (WGS84_A * WGS84_A - WGS84_B * WGS84_B) / (WGS84_B * WGS84_B)
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    dsig = B * sin_sig * (cos_2sigm + B / 4 * (
+        cos_sig * (-1 + 2 * cos_2sigm ** 2)
+        - B / 6 * cos_2sigm * (-3 + 4 * sin_sig ** 2) * (-3 + 4 * cos_2sigm ** 2)))
+    return WGS84_B * A * (sigma - dsig)
+
+
 def distance(lat1, lon1, lat2, lon2):
-    """Geodesic distance in meters (Geography.java:27-30)."""
+    """Geodesic distance in meters (Geography.java:27-30). Tiny batches
+    (<= 8 elements, all-scalar broadcast inputs) take the scalar fast
+    path; everything else runs the vectorized kernel."""
+    a1 = np.asarray(lat1, dtype=np.float64)
+    if a1.ndim <= 1:
+        o1 = np.asarray(lon1, dtype=np.float64)
+        a2 = np.asarray(lat2, dtype=np.float64)
+        o2 = np.asarray(lon2, dtype=np.float64)
+        n = max(a1.size, o1.size, a2.size, o2.size)
+        if n <= 8 and min(a1.size, o1.size, a2.size, o2.size) in (1, n):
+            b = np.broadcast(a1, o1, a2, o2)
+            out = np.array([_inverse_scalar_s12(w, x, y, z)
+                            for w, x, y, z in b])
+            if a1.ndim == 0 and o1.ndim == 0 and a2.ndim == 0 and o2.ndim == 0:
+                return out.reshape(())
+            return out
     return inverse(lat1, lon1, lat2, lon2)[0]
 
 

@@ -184,21 +184,36 @@ def minset(idx: RoadIndex, eidx: np.ndarray, frac: np.ndarray):
     order = np.argsort(eidx)
     eidx, frac = eidx[order], frac[order]
     n = len(eidx)
-    removed = np.zeros(n, dtype=bool)
-    misses = np.zeros(n, dtype=np.int64)
     rf = _round(frac)
+    if n == 0:
+        return eidx, frac
 
-    for i in range(n):
-        s, e = idx.succ_offsets[eidx[i]], idx.succ_offsets[eidx[i] + 1]
-        succs = idx.successors[s:e]
-        pos = np.searchsorted(eidx, succs)
+    # vectorized over all (candidate, successor) pairs at once: the
+    # original per-candidate loop has no loop-carried dependency
+    # (removal marks don't feed back into miss counting)
+    starts = idx.succ_offsets[eidx]
+    ends = idx.succ_offsets[eidx + 1]
+    counts = ends - starts
+    total = int(counts.sum())
+    if total:
+        # gather successors of every candidate: ranges [starts, ends)
+        src = np.repeat(np.arange(n), counts)
+        flat = np.concatenate([idx.successors[s:e]
+                               for s, e in zip(starts, ends)]) \
+            if n < 64 else idx.successors[
+                np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)])]
+        pos = np.searchsorted(eidx, flat)
         pos_c = np.minimum(pos, n - 1)
-        in_set = (pos < n) & (eidx[pos_c] == succs)
-        misses[i] += int((~in_set).sum())
+        in_set = (pos < n) & (eidx[pos_c] == flat)
         hit = pos_c[in_set]
-        zero = rf[hit] == 0.0
-        removed[hit[zero]] = True
-        misses[i] += int(zero.sum())
+        zero_hit = rf[hit] == 0.0
+        removed = np.zeros(n, dtype=bool)
+        removed[hit[zero_hit]] = True
+        misses = np.bincount(src, weights=~in_set, minlength=n)
+        misses += np.bincount(src[in_set], weights=zero_hit, minlength=n)
+    else:
+        removed = np.zeros(n, dtype=bool)
+        misses = np.zeros(n)
 
     ones = (rf == 1.0) & ~removed & (misses == 0)
     removed |= ones
@@ -228,10 +243,12 @@ class _Cand:
 
 
 def _candidates_for_trace(idx: RoadIndex, lats, lons, params: MatcherParams):
-    """Vectorized radius search + Minset + point geometry for every
-    sample of a trace at once. Returns per-sample tuples
-    (eidx, frac, lat, lon, azi) — ONE batched geodesic pass for the
-    whole trace instead of per-step little-array calls."""
+    """Vectorized radius search + Minset + point geometry + emission
+    distance for every sample of a trace at once. Returns per-sample
+    tuples (eidx, frac, lat, lon, azi, dz) — ONE batched geodesic pass
+    for the whole trace instead of per-step little-array calls (the
+    per-call Vincenty overhead on 5-element arrays dominated the kernel
+    before this batching)."""
     pt, base, frac, _dist = idx.radius(lats, lons, params.max_radius)
     spt, seidx, sfrac, _src = idx.split(pt, base, frac)
     kept = []
@@ -243,14 +260,18 @@ def _candidates_for_trace(idx: RoadIndex, lats, lons, params: MatcherParams):
     all_fr = np.concatenate([k[1] for k in kept]) if kept else np.zeros(0)
     if len(all_ei):
         clat, clon, cazi = idx.edge_point(all_ei, all_fr)
+        counts = np.array([len(k[0]) for k in kept])
+        s_lat = np.repeat(lats, counts)
+        s_lon = np.repeat(lons, counts)
+        dz_all = geo.distance(s_lat, s_lon, clat, clon)
     else:
-        clat = clon = cazi = np.zeros(0)
+        clat = clon = cazi = dz_all = np.zeros(0)
     out = []
     pos = 0
     for ei, fr in kept:
         n = len(ei)
         out.append((ei, fr, clat[pos:pos + n], clon[pos:pos + n],
-                    cazi[pos:pos + n]))
+                    cazi[pos:pos + n], dz_all[pos:pos + n]))
         pos += n
     return out
 
@@ -283,37 +304,45 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
         ei, fr = minset(idx, seidx, sfrac)
         if len(ei):
             clat, clon, cazi = idx.edge_point(ei, fr)
+            dz = geo.distance(np.full(len(ei), lat), np.full(len(ei), lon),
+                              clat, clon)
         else:
-            clat = clon = cazi = np.zeros(0)
+            clat = clon = cazi = dz = np.zeros(0)
     else:
-        ei, fr, clat, clon, cazi = precomputed
+        ei, fr, clat, clon, cazi, dz = precomputed
     ei = np.asarray(ei, dtype=np.int64)
     fr = np.asarray(fr, dtype=np.float64).copy()
     clat = np.asarray(clat, dtype=np.float64).copy()
     clon = np.asarray(clon, dtype=np.float64).copy()
     cazi = np.asarray(cazi, dtype=np.float64).copy()
+    dz = np.asarray(dz, dtype=np.float64).copy()
 
     # predecessor position carry-over (Matcher.java:200-213), batched:
-    # one geodesic pass over all matching (predecessor, candidate) pairs
+    # one geodesic pass over all matching (predecessor, candidate) pairs.
+    # A carried candidate REUSES the predecessor's road point (the
+    # reference keeps the predecessor's RoadPoint object), so no
+    # edge_point recompute — only its emission distance changes.
     if prev_vector and len(ei):
         pos_of = {int(e): j for j, e in enumerate(ei)}
         hits = [(p, pos_of[p.eidx]) for p in prev_vector if p.eidx in pos_of]
         if hits:
             js = np.array([j for _, j in hits], dtype=np.int64)
-            d = geo.distance(clat[js], clon[js],
-                             np.array([p.lat for p, _ in hits]),
-                             np.array([p.lon for p, _ in hits]))
+            p_lat = np.array([p.lat for p, _ in hits])
+            p_lon = np.array([p.lon for p, _ in hits])
+            d = geo.distance(clat[js], clon[js], p_lat, p_lon)
             pf = np.array([p.frac for p, _ in hits])
             fwd = idx.edge_forward[[p.eidx for p, _ in hits]]
             carry = (d < params.sigma) & np.where(fwd, fr[js] < pf, fr[js] > pf)
             if carry.any():
                 cj = js[carry]
                 fr[cj] = pf[carry]
-                nlat, nlon, nazi = idx.edge_point(ei[cj], fr[cj])
-                clat[cj], clon[cj], cazi[cj] = nlat, nlon, nazi
+                clat[cj], clon[cj] = p_lat[carry], p_lon[carry]
+                cazi[cj] = np.array([p.azi for p, _ in hits])[carry]
+                dz[cj] = geo.distance(np.full(len(cj), lat),
+                                      np.full(len(cj), lon),
+                                      clat[cj], clon[cj])
 
     if len(ei):
-        dz = geo.distance(lat, lon, clat, clon)
         emission = 1 / sqrt_2pi_sig2 * np.exp(-dz * dz / (2 * sig2))
         if not np.isnan(azi):
             da = np.abs(azi - cazi)
@@ -363,24 +392,25 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
                 routes[pi][ci] = path
                 rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_vec)
 
+        # vectorized forward step over the whole (P x C) matrix:
+        # F_t = e ⊙ (Tᵀ F_{t-1}); S_t = max/argmax(S_{t-1} + log10 T)
+        # + log10 e (markov/Filter.java:130-232 recurrences)
         filt_prev = np.array([p.filtprob for p in prev_vector])
         seq_prev = np.array([p.seqprob for p in prev_vector])
-        for ci, c in enumerate(cands):
-            t_col = trans[:, ci]
-            ok = t_col > 0
-            if not ok.any():
-                continue
-            filt = float((t_col[ok] * filt_prev[ok]).sum())
-            if filt == 0:
-                continue
-            log_e = float(np.log10(emission[ci])) if emission[ci] > 0 else -np.inf
-            with np.errstate(divide="ignore"):
-                seq_arr = np.where(
-                    ok, seq_prev + np.log10(np.where(ok, t_col, 1.0)) + log_e,
-                    -np.inf)
-            best = int(np.argmax(seq_arr))
-            c.filtprob = filt * emission[ci]
-            c.seqprob = float(seq_arr[best])
+        ok = trans > 0
+        filt_col = (trans * filt_prev[:, None]).sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            log_t = np.where(ok, np.log10(np.where(ok, trans, 1.0)), -np.inf)
+            log_e = np.where(emission > 0, np.log10(
+                np.where(emission > 0, emission, 1.0)), -np.inf)
+        seq_mat = seq_prev[:, None] + log_t + log_e[None, :]
+        best_pred = np.argmax(seq_mat, axis=0)
+        keep = ok.any(axis=0) & (filt_col > 0)
+        for ci in np.flatnonzero(keep):
+            c = cands[ci]
+            best = int(best_pred[ci])
+            c.filtprob = float(filt_col[ci]) * float(emission[ci])
+            c.seqprob = float(seq_mat[best, ci])
             c.pred = prev_vector[best]
             c.route = routes[best][ci]
             c.route_len = float(rlens[best, ci])
