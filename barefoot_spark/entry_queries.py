@@ -480,6 +480,54 @@ def q_simhash_dedup(spark, sf_dir):
         .select("left_id", "right_id", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """Word-trigram Jaccard verify stage (pure Catalyst higher-order
+    functions) over deterministic candidate pairs: every 7th doc with
+    its successor, plus every 11th doc with itself (exercises the
+    jaccard=1 path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select("doc_id")
+    succ = (ids.filter(F.col("doc_id") % 7 == 0)
+            .select(F.col("doc_id").alias("left_id"),
+                    (F.col("doc_id") + 1).alias("right_id")))
+    selfp = (ids.filter(F.col("doc_id") % 11 == 0)
+             .select(F.col("doc_id").alias("left_id"),
+                     F.col("doc_id").alias("right_id")))
+    pairs = succ.union(selfp) \
+        .join(ids.withColumnRenamed("doc_id", "right_id"), "right_id", "inner") \
+        .select("left_id", "right_id")
+    out = DP.ngram_jaccard(docs, pairs, n=3)
+    return out.select("left_id", "right_id",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def oracle_jaccard_pairs(sf_dir):
+    grams = ("list_distinct(list_transform(list_filter(list_transform("
+             "range(0, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 0) + 1), "
+             "i -> string_split_regex(lower(text), '\\s+')[i+1:i+3]), "
+             "w -> len(w) = 3), w -> array_to_string(w, ' ')))")
+    return f"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        pairs AS (
+            SELECT p.left_id, p.right_id FROM (
+                SELECT doc_id AS left_id, doc_id + 1 AS right_id
+                FROM ids WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id, doc_id FROM ids WHERE doc_id % 11 = 0
+            ) p JOIN ids r ON r.doc_id = p.right_id
+        ), g AS (
+            SELECT doc_id, {grams} AS grams FROM documents
+        )
+        SELECT left_id, right_id,
+               round(CAST(len(list_intersect(lg.grams, rg.grams)) AS DOUBLE)
+                     / greatest(len(list_distinct(list_concat(lg.grams, rg.grams))), 1),
+                     6) AS jaccard
+        FROM pairs
+        JOIN g lg ON lg.doc_id = left_id
+        JOIN g rg ON rg.doc_id = right_id
+    """
+
+
 def q_image_verify(spark, sf_dir):
     from .sources import images as IM
     pdf = IM.synth_images_pdf(256)
@@ -509,6 +557,7 @@ QUERIES = {
     "dbcan_events": q_dbcan_events,
     "dbcan_core_events": q_dbcan_core_events,
     "dbrcan_function": q_dbrcan_function,
+    "jaccard_pairs": q_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "image_verify": q_image_verify,
@@ -532,6 +581,7 @@ ORACLES = {
     "ivf_ann_topk": oracle_ann_topk,
     "dbcan_events": oracle_dbcan_events,
     "dbcan_core_events": oracle_dbcan_core_events,
+    "jaccard_pairs": oracle_jaccard_pairs,
     # viterbi_match / minhash_dedup / simhash_dedup / image_verify:
     # non-SQL-expressible (stateful kernel or seeded signature UDFs) ->
     # rows-only check per the driver contract

@@ -417,6 +417,15 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
             result.append(c)
             normsum += c.filtprob
 
+    # numerical HMM break: when the only predecessors that can reach
+    # any candidate carry subnormal filtprobs, every filt*emission
+    # product underflows to exactly 0 and the vector is unnormalizable.
+    # The reference would divide 0/0 here and silently propagate NaN
+    # (Filter.java:238-240); we treat it as the HMM-break case instead —
+    # re-seed from raw emissions, keeping the chain repair below.
+    if result and normsum == 0.0:
+        result = []
+
     # HMM break / initial seeding (Filter.java:207-232)
     if not result:
         for ci, c in enumerate(cands):
@@ -426,6 +435,7 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
             c.seqprob = float(np.log10(emission[ci]))
             c.pred = None
             c.route = None
+            c.route_len = None
             result.append(c)
             normsum += c.filtprob
 

@@ -73,6 +73,17 @@ def run_bench(spark, sf_dir: str, sf: float):
                             * F.lit(lon_hi - lon_lo))
                 .withColumnRenamed("id", "point_id"))
 
+    # warm-up (untimed): spin up python workers, ship the broadcast
+    # index, JIT the kernels — one-time session costs that a long-lived
+    # cluster amortizes away (same protocol as tools/scale_worker.py)
+    T.assign_tiles(synth_points(100_000), res=15, parent_res=7) \
+        .agg(F.count("*")).collect()
+    J.radius_join(synth_points(100_000), idx_bc, 100.0) \
+        .agg(F.count("*")).collect()
+    warm_traces = SS.synth_traces(idx, n_traces=8, samples_per_trace=20, seed=7)
+    M.match_traces(spark.createDataFrame(warm_traces), idx_bc) \
+        .agg(F.count("*")).collect()
+
     # 1. tile assignment (pure codegen path)
     timed("tile_assign",
           lambda: T.assign_tiles(synth_points(n_tile_points), res=15, parent_res=7)

@@ -194,3 +194,28 @@ def test_filtprob_normalized(idx):
     rows = _mmatch(idx, SAMPLES4, shorten=True)
     for r in rows:
         assert 0 < r[11] <= 1.0
+
+
+def test_underflow_hmm_break_reseeds():
+    """Regression: when every reachable predecessor carries a subnormal
+    filtprob, all transition-fed filt*emission products underflow to
+    exactly 0 — the step must re-seed from emissions (numerical HMM
+    break) instead of dividing by a zero normalizer. Found on bench
+    trace-000409 (grid 24, seed 42)."""
+    import numpy as np
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.sources import samples as SS
+
+    idx = RoadIndex(R.grid_pdf(24, seed=42), res=16)
+    pdf = SS.synth_traces(idx, n_traces=500, samples_per_trace=60, seed=42)
+    g = pdf[pdf.trace_id == "trace-000409"]
+    rows = M.match_trace(
+        idx, "trace-000409", g["sample_id"].to_numpy(),
+        g["time"].to_numpy(np.int64), g["lat"].to_numpy(np.float64),
+        g["lon"].to_numpy(np.float64), g["azimuth"].to_numpy(np.float64),
+        M.MatcherParams())
+    assert len(rows) == 60
+    # every emitted filtprob is a valid normalized probability
+    filt = np.array([r[11] for r in rows])
+    assert np.isfinite(filt).all() and (filt >= 0).all() and (filt <= 1).all()
