@@ -414,6 +414,32 @@ def oracle_ann_topk(sf_dir):
     """
 
 
+def q_connected_components(spark, sf_dir):
+    """Weakly-connected components via the large-star/small-star
+    algorithm over an orders-derived sparse graph (iterative
+    min-label fixpoint — not SQL-expressible -> rows-only; the
+    equivalence with plain label propagation is pytest-verified)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = (orders.filter(F.col("o_orderkey") % 7 == 0)
+             .select(F.col("o_orderkey").alias("edge_id"),
+                     (F.col("o_custkey") % 500).alias("source"),
+                     (500 + (F.col("o_orderkey") * 13) % 797).alias("target")))
+    from .. import graphx
+    out = graphx.connected_components_star(edges)
+    return out.orderBy("edge_id")
+
+
+def q_dbscan_clusters(spark, sf_dir):
+    """Geodesic DBSCAN over orders-derived points (cell-bucketed
+    eps-graph + label propagation — iterative, rows-only)."""
+    pts = _points(spark, sf_dir).filter(F.col("point_id") % 5 == 0) \
+        .selectExpr("point_id", "py AS lat", "px AS lon")
+    out = A.dbscan_2d(pts, eps_m=120.0, min_pts=4)
+    return out.select("point_id",
+                      F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cluster_id")) \
+        .orderBy("point_id")
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN run at nprobe = n_lists (full probe),
     which is exact by construction — every vector sits in exactly one
@@ -554,6 +580,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "ann_topk": q_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "connected_components": q_connected_components,
+    "dbscan_clusters": q_dbscan_clusters,
     "dbcan_events": q_dbcan_events,
     "dbcan_core_events": q_dbcan_core_events,
     "dbrcan_function": q_dbrcan_function,
