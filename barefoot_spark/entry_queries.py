@@ -424,7 +424,7 @@ def q_connected_components(spark, sf_dir):
              .select(F.col("o_orderkey").alias("edge_id"),
                      (F.col("o_custkey") % 500).alias("source"),
                      (500 + (F.col("o_orderkey") * 13) % 797).alias("target")))
-    from .. import graphx
+    from . import graphx
     out = graphx.connected_components_star(edges)
     return out.orderBy("edge_id")
 
