@@ -267,6 +267,22 @@ def q_viterbi_match(spark, sf_dir):
 # analytics / datapipe queries
 # ---------------------------------------------------------------------------
 
+def q_route_geojson(spark, sf_dir):
+    """Full sink path: match -> route geometry clipping -> per-trace
+    GeoJSON MultiLineString (MatcherKState.toGeoJSON analog). Kernel
+    geometry -> rows-only."""
+    from .operators import output as O
+    idx = RoadIndex(roads.micro7_pdf(), res=15)
+    idx_bc = spark.sparkContext.broadcast(idx)
+    pdf = SS.synth_traces(idx, n_traces=6, samples_per_trace=20, seed=42)
+    matched = M.match_traces(spark.createDataFrame(pdf), idx_bc)
+    geo_df = O.with_route_geometry(matched, idx_bc)
+    out = O.to_geojson(geo_df)
+    return out.select("trace_id", F.length("geojson").alias("geojson_len"),
+                      F.substring("geojson", 1, 40).alias("geojson_head")) \
+        .orderBy("trace_id")
+
+
 def q_lineitem_pricing(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -343,6 +359,35 @@ def oracle_event_sessions(sf_dir):
                         THEN 1 ELSE 0 END) AS sessions,
                count(*) AS events
         FROM g GROUP BY user_id
+    """
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (skew path for hot grouping keys)
+    over lineitem — algebraic ops re-merge exactly, so the result is
+    identical to a plain GROUP BY, which is the DuckDB oracle."""
+    from .operators import skew as SK
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = SK.salted_agg(
+        li, ["l_returnflag"],
+        {"n_items": ("count", "l_orderkey"),
+         "sum_qty": ("sum", "l_quantity"),
+         "max_price": ("max", "l_extendedprice"),
+         "min_disc": ("min", "l_discount")},
+        salt_n=16)
+    return out.select("l_returnflag", "n_items",
+                      F.round("sum_qty", 2).alias("sum_qty"),
+                      F.round("max_price", 2).alias("max_price"),
+                      F.round("min_disc", 2).alias("min_disc"))
+
+
+def oracle_salted_agg(sf_dir):
+    return """
+        SELECT l_returnflag, count(l_orderkey) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(max(l_extendedprice), 2) AS max_price,
+               round(min(l_discount), 2) AS min_disc
+        FROM lineitem GROUP BY l_returnflag
     """
 
 
@@ -572,9 +617,11 @@ QUERIES = {
     "point_in_polygon": q_point_in_polygon,
     "raster_vector_join": q_raster_vector,
     "viterbi_match": q_viterbi_match,
+    "route_geojson": q_route_geojson,
     "lineitem_pricing": q_lineitem_pricing,
     "top_customers": q_top_customers,
     "event_sessions": q_event_sessions,
+    "salted_agg": q_salted_agg,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
@@ -602,6 +649,7 @@ ORACLES = {
     "lineitem_pricing": oracle_lineitem_pricing,
     "top_customers": oracle_top_customers,
     "event_sessions": oracle_event_sessions,
+    "salted_agg": oracle_salted_agg,
     "exact_dedup": oracle_exact_dedup,
     "text_stats": oracle_text_stats,
     "quality_filter": oracle_quality_filter,
