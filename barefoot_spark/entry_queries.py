@@ -163,6 +163,47 @@ def oracle_radius_join(sf_dir):
             f"WHERE {d} < 300.0")
 
 
+def _fast_parts_pdf():
+    idx = RoadIndex(roads.micro7_pdf(), res=15)
+    return J.segment_parts_pdf(idx, 250.0, 15)
+
+
+def q_radius_join_fast(spark, sf_dir):
+    """Pure-Catalyst radius join scale path: cell-cover broadcast hash
+    join + codegen planar/haversine refine — zero Python in the probe
+    (joins.radius_join_fast). Same SQL fragments as the oracle."""
+    pts = _points(spark, sf_dir).selectExpr("point_id", "py AS lat", "px AS lon")
+    parts = spark.createDataFrame(_fast_parts_pdf())
+    out = J.radius_join_fast(pts, parts, 250.0, 15)
+    return out.select("point_id", "gid",
+                      F.round("fraction", 6).alias("fraction"),
+                      F.round("distance", 3).alias("dist_m"))
+
+
+def oracle_radius_join_fast(sf_dir):
+    parts = _fast_parts_pdf()
+    vals = ", ".join(
+        f"({int(r.cell)}, {int(r.gid)}, {r.ax!r}e0, {r.ay!r}e0, {r.bx!r}e0, "
+        f"{r.by!r}e0, {r.cum_before!r}e0, {r.seg_len!r}e0, {r.total_len!r}e0)"
+        for r in parts.itertuples(index=False))
+    fr = J.seg_refine_sql(250.0)
+    cexpr = T.cell_expr_sql("lat", "lon", 15)
+    return f"""
+        WITH parts(cell, gid, ax, ay, bx, by, cum_before, seg_len, total_len)
+             AS (VALUES {vals}),
+        pts AS (SELECT point_id, py AS lat, px AS lon
+                FROM ({POINTS_SQL_BODY})),
+        cand AS (
+            SELECT point_id, gid, {fr['dist']} AS dist_m, {fr['frac']} AS fraction
+            FROM pts JOIN parts ON parts.cell = {cexpr}
+        )
+        SELECT point_id, gid, round(min_by(fraction, dist_m), 6) AS fraction,
+               round(min(dist_m), 3) AS dist_m
+        FROM cand WHERE dist_m <= 250.0e0
+        GROUP BY point_id, gid
+    """
+
+
 def q_knn_join(spark, sf_dir):
     pts = _points(spark, sf_dir)
     segs = _segs(spark)
@@ -612,6 +653,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_counts": q_tile_counts,
     "radius_join": q_radius_join,
+    "radius_join_fast": q_radius_join_fast,
     "knn_join": q_knn_join,
     "nearest_join": q_nearest_join,
     "point_in_polygon": q_point_in_polygon,
@@ -642,6 +684,7 @@ ORACLES = {
     "tile_assign": oracle_tile_assign,
     "tile_counts": oracle_tile_counts,
     "radius_join": oracle_radius_join,
+    "radius_join_fast": oracle_radius_join_fast,
     "knn_join": oracle_knn_join,
     "nearest_join": oracle_nearest_join,
     "point_in_polygon": oracle_point_in_polygon,

@@ -103,6 +103,114 @@ def knn_join(points: DataFrame, idx_bc, k: int, point_id: str = "point_id") -> D
 
 
 # ---------------------------------------------------------------------------
+# radius join, pure-Catalyst scale path (no Python in the probe)
+# ---------------------------------------------------------------------------
+
+def seg_refine_sql(radius_m: float, lat="lat", lon="lon") -> dict:
+    """Shared SQL fragments for the codegen radius refine: planar-
+    clamped parameter t on the sub-segment (lon scaled by the segment's
+    mean-latitude cosine), spherical haversine distance to the closest
+    point, and the global polyline fraction. The SAME text runs through
+    Catalyst (F.expr) and DuckDB, so both evaluate identical doubles.
+    Expects columns ax, ay, bx, by (segment endpoints, lon/lat),
+    cum_before, seg_len, total_len."""
+    k = "cos(radians((ay + by) / 2.0e0))"
+    dx = f"((bx - ax) * {k})"
+    dy = "(by - ay)"
+    wx = f"(({lon} - ax) * {k})"
+    wy = f"(({lat} - ay))"
+    denom = f"greatest({dx} * {dx} + {dy} * {dy}, 1e-30)"
+    t = f"least(greatest(({wx} * {dx} + {wy} * {dy}) / {denom}, 0.0e0), 1.0e0)"
+    qx = f"(ax + {t} * (bx - ax))"
+    qy = f"(ay + {t} * (by - ay))"
+    dist = (f"2.0e0 * 6371008.8e0 * asin(sqrt("
+            f"pow(sin(radians(({qy}) - ({lat})) / 2.0e0), 2) "
+            f"+ cos(radians({lat})) * cos(radians({qy})) "
+            f"* pow(sin(radians(({qx}) - ({lon})) / 2.0e0), 2)))")
+    frac = f"((cum_before + ({t}) * seg_len) / greatest(total_len, 1e-30))"
+    return {"t": t, "dist": dist, "frac": frac}
+
+
+def segment_parts_pdf(idx, radius_m: float, res: int) -> pd.DataFrame:
+    """Buffered sub-segment cover table for the codegen radius join:
+    one row per (2-point sub-segment, covering cell), the envelope of
+    each sub-segment expanded by radius_m so every point within
+    radius_m of the segment shares a cell with its cover. Endpoint and
+    cumulative-length columns feed the Catalyst refine. Built once from
+    the (small) road relation — the broadcast side."""
+    coords, offsets, gid = idx.coords, np.asarray(idx.offsets), idx.gid
+    n_poly = len(offsets) - 1
+    # sub-segment endpoint index pairs (i, i+1) within each polyline
+    seg_start = np.concatenate([np.arange(offsets[p], offsets[p + 1] - 1)
+                                for p in range(n_poly)])
+    poly_of = np.searchsorted(offsets, seg_start, side="right") - 1
+    ax, ay = coords[seg_start, 0], coords[seg_start, 1]
+    bx, by = coords[seg_start + 1, 0], coords[seg_start + 1, 1]
+    seg_len = geo.distance(ay, ax, by, bx)
+    # cumulative length before each sub-segment + polyline totals
+    cum = np.zeros(len(seg_len))
+    total = np.zeros(n_poly)
+    pos = 0
+    for p in range(n_poly):
+        m = offsets[p + 1] - offsets[p] - 1
+        sl = seg_len[pos:pos + m]
+        cum[pos:pos + m] = np.concatenate([[0.0], np.cumsum(sl[:-1])])
+        total[p] = sl.sum()
+        pos += m
+    dlat = radius_m / cells.M_PER_DEG_LAT
+    coslat = np.cos(np.radians(np.clip(np.abs((ay + by) / 2), 0, 89.0)))
+    dlon = radius_m / (cells.M_PER_DEG_LON_EQ * coslat)
+    row_idx, cell = cells.cover_envelope(
+        np.minimum(ay, by) - dlat, np.maximum(ay, by) + dlat,
+        np.minimum(ax, bx) - dlon, np.maximum(ax, bx) + dlon, res)
+    return pd.DataFrame({
+        "cell": cell,
+        "gid": gid[poly_of[row_idx]],
+        "ax": ax[row_idx], "ay": ay[row_idx],
+        "bx": bx[row_idx], "by": by[row_idx],
+        "cum_before": cum[row_idx], "seg_len": seg_len[row_idx],
+        "total_len": total[poly_of[row_idx]]})
+
+
+def radius_join_fast(points: DataFrame, parts_df: DataFrame, radius_m: float,
+                     res: int, point_id: str = "point_id",
+                     single_part: bool = False) -> DataFrame:
+    """Radius join with ZERO Python in the probe path: points get a
+    cell id via the pure-Catalyst tile expression, broadcast-hash-join
+    against the buffered sub-segment cover table on cell, and the
+    distance refine is a codegen'd planar-clamped + haversine
+    expression. Whole-stage codegen end to end — this is the 10^12-row
+    scale path (the exact-Vincenty kernel join is the parity path; the
+    planar/haversine refine differs from it by < ~0.5% at sub-km radii,
+    bounded in tests).
+
+    Returns one row per (point, road): (point_id, gid, fraction,
+    distance) at the minimum-distance sub-segment — the undirected form
+    of joins.radius_join.
+
+    single_part=True asserts every road geometry is a single 2-point
+    segment (the normal form of the reference's split road relation,
+    map/tools/bfmap.py segmentation): each (point, gid) pair is then
+    unique by construction and the min-per-road aggregation — the only
+    shuffle in this plan — is skipped entirely, leaving a pure
+    map-side broadcast-join pipeline."""
+    from . import tiles as T
+    fr = seg_refine_sql(radius_m)
+    pts = points.withColumn("cell", T.cell_expr(F.col("lat"), F.col("lon"), res))
+    j = pts.join(F.broadcast(parts_df), "cell")
+    j = (j.withColumn("dist_m", F.expr(fr["dist"]))
+         .filter(F.col("dist_m") <= radius_m)
+         .withColumn("fraction", F.expr(fr["frac"])))
+    if single_part:
+        return j.select(point_id, "gid", "fraction",
+                        F.col("dist_m").alias("distance"))
+    return (j.groupBy(point_id, "gid")
+            .agg(F.min("dist_m").alias("distance"),
+                 F.expr("min_by(fraction, dist_m)").alias("fraction"))
+            .select(point_id, "gid", "fraction", "distance"))
+
+
+# ---------------------------------------------------------------------------
 # point-in-polygon (ray casting; polygon predicate of
 # roadmap/RoadMap.java:272-277 re-expressed for points)
 # ---------------------------------------------------------------------------

@@ -30,7 +30,16 @@ def cell_udf(res: int):
 
 
 def cell_expr(lat: Column, lon: Column, res: int) -> Column:
-    """Pure-SQL cell id; exact same packing as cells.pack."""
+    """Pure-SQL cell id; exact same packing as cells.pack.
+
+    res must be <= 15: the packing puts res at bit 59, so res 16 would
+    set the int64 sign bit — numpy wraps silently (internal kernel use
+    is consistent either way) but Spark's ANSI arithmetic raises
+    ARITHMETIC_OVERFLOW, and the "positive, sortable, prefix-prunable"
+    contract of the SQL cell id only holds through res 15 (~9 m cells:
+    finer than any query radius this engine serves)."""
+    if res > 15:
+        raise ValueError(f"cell_expr requires res <= 15, got {res}")
     edge = cells.res_edge_deg(res)
     nx = int(round(360.0 / edge))
     ny = int(round(180.0 / edge))

@@ -96,6 +96,16 @@ def run_bench(spark, sf_dir: str, sf: float):
           .agg(F.count("*")).collect() and n_probe_points,
           rows_hint=n_probe_points)
 
+    # 2b. pure-Catalyst radius join (codegen scale path, no Python)
+    parts = spark.createDataFrame(
+        J.segment_parts_pdf(idx, 100.0, 15)).cache()
+    parts.count()
+    timed("radius_join_fast",
+          lambda: J.radius_join_fast(synth_points(n_probe_points), parts,
+                                     100.0, 15, single_part=True)
+          .agg(F.count("*")).collect() and n_probe_points,
+          rows_hint=n_probe_points)
+
     # 3. Viterbi match
     geotags = SS.synth_traces(idx, n_traces=n_traces, samples_per_trace=60, seed=42)
     samples_df = spark.createDataFrame(geotags).repartition(

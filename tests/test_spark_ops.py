@@ -4,6 +4,7 @@ equivalents (same broadcast index, same kernels) and plan checks."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from barefoot_spark import roads, wkbio
 from barefoot_spark.index import RoadIndex
@@ -132,3 +133,59 @@ def test_matched_sequence_follows_roads(spark, idx, idx_bc):
     for route in out["route_edges"]:
         for e in route:
             assert int(e) in known
+
+
+def test_radius_join_fast_bounded_error(spark):
+    """Pure-Catalyst radius join (cell cover + codegen planar/haversine
+    refine) vs the exact Vincenty kernel: every exact hit clearly inside
+    the radius is found, no hit clearly outside appears, and
+    distance/fraction agree within 0.5% relative (the documented
+    planar-refine bound at sub-km radii)."""
+    g_idx = RoadIndex(roads.grid_pdf(8, seed=42), res=15)
+    rng = np.random.default_rng(3)
+    n = 400
+    lat = rng.uniform(48.0, 48.0 + 8 * 0.005, n)
+    lon = rng.uniform(11.0, 11.0 + 8 * 0.005, n)
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"point_id": np.arange(n), "lat": lat, "lon": lon}))
+    r = 120.0
+    res = 15
+    parts = spark.createDataFrame(joins.segment_parts_pdf(g_idx, r, res))
+    fast = joins.radius_join_fast(pts, parts, r, res).toPandas()
+    fast_pairs = {(int(p), int(g)): (d, f) for p, g, f, d in
+                  zip(fast.point_id, fast.gid, fast.fraction, fast.distance)}
+
+    pt, base, frac, dist = g_idx.radius(lat, lon, r)
+    tol = 0.005
+    exact_pairs = {}
+    for i in range(len(pt)):
+        exact_pairs[(int(pt[i]), int(g_idx.gid[base[i]]))] = (dist[i], frac[i])
+    # recall: exact hits well inside must appear
+    missed = [k for k, (d, f) in exact_pairs.items()
+              if d < r * (1 - tol) and k not in fast_pairs]
+    assert not missed, missed[:5]
+    # precision: fast hits must be near-hits in exact terms
+    for k, (d, f) in fast_pairs.items():
+        if k in exact_pairs:
+            de, fe = exact_pairs[k]
+            assert abs(d - de) <= max(1.0, tol * max(d, de)), (k, d, de)
+            assert abs(f - fe) <= 0.01, (k, f, fe)
+        else:
+            # not an exact hit: must be a borderline case
+            assert d >= r * (1 - tol), (k, d)
+
+
+def test_radius_join_fast_plan_is_codegen(spark):
+    """The fast path must plan as broadcast hash join with no Python
+    operators (no BatchEvalPython / MapInPandas / PythonUDF nodes)."""
+    g_idx = RoadIndex(roads.micro7_pdf(), res=15)
+    pts = spark.range(100).select(
+        F.col("id").alias("point_id"),
+        (F.lit(48.0) + F.col("id") / 10000.0).alias("lat"),
+        (F.lit(11.0) + F.col("id") / 10000.0).alias("lon"))
+    parts = spark.createDataFrame(joins.segment_parts_pdf(g_idx, 150.0, 15))
+    out = joins.radius_join_fast(pts, parts, 150.0, 15)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("Python", "MapInPandas", "ArrowEval"):
+        assert bad not in plan, plan[:500]
