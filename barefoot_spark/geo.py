@@ -300,6 +300,60 @@ def intercept_segment(lat1, lon1, lat2, lon2, latc, lonc):
 
 
 
+def intersect_geodesics(lata1, lona1, lata2, lona2,
+                        latb1, lonb1, latb2, lonb2):
+    """Intersection point of two geodesics (Intersect.java:55-139,
+    Karney's gnomonic-projection method, Algorithms for geodesics §8).
+
+    Vectorized: start from the 4-point average (the reference's init),
+    iterate <=10 rounds of project-into-plane / planar line-line
+    intersection / re-center. The reference projects gnomonically; we
+    use the same azimuthal-equidistant plane as intercept_segment —
+    both make geodesics through the center exactly straight, so the
+    fixed point is the same true intersection.
+
+    Returns (lat, lon, s12) where s12 is the geodesic distance from
+    (lata1, lona1) to the intersection (the reference returns the
+    Inverse from a1)."""
+    lata1, lona1, lata2, lona2, latb1, lonb1, latb2, lonb2 = \
+        np.broadcast_arrays(*(np.asarray(x, dtype=np.float64) for x in (
+            lata1, lona1, lata2, lona2, latb1, lonb1, latb2, lonb2)))
+    latp = (lata1 + lata2 + latb1 + latb2) / 4.0
+    lonp = (np.mod(lona1, 360.0) + np.mod(lona2, 360.0)
+            + np.mod(lonb1, 360.0) + np.mod(lonb2, 360.0)) / 4.0
+    lonp = np.where(lonp > 180.0, lonp - 360.0, lonp)
+
+    def _fwd(lat0, lon0, lat, lon):
+        s, azi, _ = inverse(lat0, lon0, lat, lon)
+        a = np.radians(azi)
+        return s * np.sin(a), s * np.cos(a)
+
+    for _ in range(_MAXIT_ICPT):
+        xa1, ya1 = _fwd(latp, lonp, lata1, lona1)
+        xa2, ya2 = _fwd(latp, lonp, lata2, lona2)
+        xb1, yb1 = _fwd(latp, lonp, latb1, lonb1)
+        xb2, yb2 = _fwd(latp, lonp, latb2, lonb2)
+        # homogeneous line-line intersection: l = p1 x p2, p = la x lb
+        la = np.stack([ya1 - ya2, xa2 - xa1, xa1 * ya2 - xa2 * ya1])
+        lb = np.stack([yb1 - yb2, xb2 - xb1, xb1 * yb2 - xb2 * yb1])
+        px = la[1] * lb[2] - la[2] * lb[1]
+        py = la[2] * lb[0] - la[0] * lb[2]
+        pz = la[0] * lb[1] - la[1] * lb[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            px = np.where(pz != 0, px / np.where(pz == 0, 1, pz), 0.0)
+            py = np.where(pz != 0, py / np.where(pz == 0, 1, pz), 0.0)
+        s = np.hypot(px, py)
+        azi = np.degrees(np.arctan2(px, py))
+        latp_new, lonp_new, _ = direct(latp, lonp, azi, s)
+        done = np.all(np.abs(latp_new - latp) < 1e-12) and \
+            np.all(np.abs(lonp_new - lonp) < 1e-12)
+        latp, lonp = latp_new, lonp_new
+        if done:
+            break
+    s12 = distance(lata1, lona1, latp, lonp)
+    return latp, lonp, s12
+
+
 def _group_first(n_groups, group_idx, mask=None):
     """Index of first element (by position) per group; -1 if none."""
     order = np.arange(len(group_idx))

@@ -149,3 +149,46 @@ def test_envelope_contains_circle():
     assert np.all(blon >= lon_min) and np.all(blon <= lon_max)
     # and stay tight (within ~2% + margin)
     assert (float(lat_max) - 48.0) < 0.0018 * 1.1
+
+
+def test_intersect_geodesics_on_both_lines():
+    """Intersection point must lie on both geodesics (intercept distance
+    ~0) — the defining property of Intersect.java's fixed point."""
+    cases = [
+        # crossing diagonals near Munich
+        (48.0, 11.0, 48.1, 11.2, 48.1, 11.0, 48.0, 11.2),
+        # long geodesics crossing
+        (40.0, -5.0, 55.0, 15.0, 52.0, -8.0, 44.0, 18.0),
+        # near-perpendicular short segments
+        (48.0, 11.0, 48.001, 11.0, 48.0005, 10.999, 48.0005, 11.001),
+    ]
+    for (a1la, a1lo, a2la, a2lo, b1la, b1lo, b2la, b2lo) in cases:
+        lat, lon, s12 = geo.intersect_geodesics(
+            a1la, a1lo, a2la, a2lo, b1la, b1lo, b2la, b2lo)
+        lat, lon = float(lat), float(lon)
+        # distance from the point to each geodesic (via intercept foot)
+        for (p1la, p1lo, p2la, p2lo) in ((a1la, a1lo, a2la, a2lo),
+                                         (b1la, b1lo, b2la, b2lo)):
+            f = float(geo.intercept_segment(p1la, p1lo, p2la, p2lo, lat, lon))
+            fla, flo = geo.interpolate_segment(p1la, p1lo, p2la, p2lo, f)
+            d = float(geo.distance(lat, lon, float(fla), float(flo)))
+            assert d < 0.01, (lat, lon, d)   # within 1 cm of each line
+        # s12 equals distance from a1 to the point
+        assert abs(float(geo.distance(a1la, a1lo, lat, lon)) - float(s12)) < 1e-6
+
+
+def test_intersect_geodesics_vectorized_matches_scalar():
+    rng = np.random.default_rng(4)
+    n = 50
+    a1la = rng.uniform(47, 49, n); a1lo = rng.uniform(10, 12, n)
+    a2la = a1la + rng.uniform(0.05, 0.2, n); a2lo = a1lo + rng.uniform(0.05, 0.2, n)
+    b1la = a1la + rng.uniform(0.05, 0.2, n); b1lo = a1lo
+    b2la = a1la; b2lo = a1lo + rng.uniform(0.05, 0.2, n)
+    vlat, vlon, vs = geo.intersect_geodesics(a1la, a1lo, a2la, a2lo,
+                                             b1la, b1lo, b2la, b2lo)
+    for i in range(0, n, 7):
+        slat, slon, ss = geo.intersect_geodesics(
+            a1la[i], a1lo[i], a2la[i], a2lo[i],
+            b1la[i], b1lo[i], b2la[i], b2lo[i])
+        assert abs(float(slat) - vlat[i]) < 1e-9
+        assert abs(float(slon) - vlon[i]) < 1e-9

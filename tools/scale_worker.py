@@ -91,6 +91,19 @@ def main():
                                         "rows_per_sec": round(n_probe / dt)}
     results["checksums"]["radius_join"] = cs
 
+    # 2a. pure-Catalyst radius join (codegen scale path — no python
+    # worker, no Arrow pipe; this is how the probe runs at 10^12 scale)
+    parts = spark.createDataFrame(
+        J.segment_parts_pdf(idx, 100.0, 15)).cache()
+    parts.count()
+    rjf = J.radius_join_fast(synth_points(n_probe), parts, 100.0, 15,
+                             single_part=True)
+    dt, cs = best_of(lambda: checksum(rjf, ["point_id", "gid"]))
+    results["stages"]["radius_join_fast"] = {
+        "rows": n_probe, "sec": round(dt, 3),
+        "rows_per_sec": round(n_probe / dt)}
+    results["checksums"]["radius_join_fast"] = cs
+
     # 2b. Arrow-pipe floor: identical input through a no-op kernel. In
     # single-JVM local mode the JVM->Python Arrow feed tops out at a
     # constant ~3M rows/s regardless of cores (per-executor pipeline on
