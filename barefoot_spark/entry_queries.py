@@ -640,6 +640,30 @@ def oracle_jaccard_pairs(sf_dir):
     """
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (min rolling-hash per sliding window) —
+    seeded signature kernel, rows-only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DP.doc_fingerprint(docs)
+    return out.select("doc_id", F.size("fingerprint").alias("n_grams"),
+                      F.xxhash64(F.col("fingerprint").cast("string"))
+                      .alias("fp_hash")).orderBy("doc_id")
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal feature extraction over binary image columns
+    (decode -> per-channel stats, mapInPandas; bytes projected out
+    before any shuffle) — rows-only."""
+    from .sources import images as IM
+    pdf = IM.synth_images_pdf(256)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    out = IM.image_features(images)
+    keep = [c for c in out.columns if c != "bytes"]
+    sel = [F.round(c, 4).alias(c) if dict(out.dtypes)[c] == "double" else F.col(c)
+           for c in keep]
+    return out.select(*sel).orderBy("image_id")
+
+
 def q_image_verify(spark, sf_dir):
     from .sources import images as IM
     pdf = IM.synth_images_pdf(256)
@@ -677,6 +701,8 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "image_features": q_image_features,
     "image_verify": q_image_verify,
 }
 

@@ -219,3 +219,52 @@ def test_underflow_hmm_break_reseeds():
     # every emitted filtprob is a valid normalized probability
     filt = np.array([r[11] for r in rows])
     assert np.isfinite(filt).all() and (filt >= 0).all() and (filt <= 1).all()
+
+
+def test_x0001_fixture_end_to_end_match():
+    """Match the reference's REAL Munich GPS fixture (x0001-015.json,
+    80 noisy 5s-interval samples) against a road map synthesized from
+    the trace's own track (consecutive-sample segments = roads). The
+    matcher must keep every sample on the synthesized corridor, walk it
+    monotonically, and produce connected transition routes — the
+    closest x0001 end-to-end check possible without the Oberbayern
+    PostGIS map the reference's ServerTest needs."""
+    import json
+    import pandas as pd
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.sources import samples as SS
+
+    path = ("/root/reference/src/test/resources/com/bmwcarit/barefoot/"
+            "matcher/x0001-015.json")
+    arr = json.load(open(path))
+    samples = SS.parse_sample_json(pd.Series([json.dumps(o) for o in arr]))
+
+    # corridor map: one road per consecutive sample pair (downsampled
+    # 2x so roads are ~2x sample spacing and matching is non-trivial)
+    pts = samples[["lon", "lat"]].to_numpy()[::2]
+    entries = []
+    for i in range(len(pts) - 1):
+        entries.append((i + 1, 100 + i, 100 + i + 1, False,
+                        f"LINESTRING({pts[i][0]} {pts[i][1]}, "
+                        f"{pts[i+1][0]} {pts[i+1][1]})"))
+    idx = RoadIndex(R.roads_pdf_from_entries(entries), res=15)
+
+    rows = M.match_trace(
+        idx, "x0001", np.arange(len(samples)).astype(str),
+        samples["time"].to_numpy("int64"),
+        samples["lat"].to_numpy(), samples["lon"].to_numpy(),
+        samples["azimuth"].to_numpy(), M.MatcherParams())
+    assert len(rows) == len(samples)          # no sample dropped
+    eids = [r[4] for r in rows]
+    known = set(idx.edge_id.tolist())
+    assert set(eids) <= known
+    # matched positions advance monotonically along the corridor
+    # (base road ids are ordered along the track)
+    bases = np.array([e // 2 for e in eids])
+    assert (np.diff(bases) >= 0).mean() > 0.95
+    assert bases[-1] - bases[0] >= len(pts) * 0.8   # traverses the corridor
+    # transition routes connect: every route's edges are on the map
+    for r in rows:
+        for e in r[9]:
+            assert int(e) in known
