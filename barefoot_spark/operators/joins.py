@@ -22,7 +22,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
 )
@@ -208,6 +208,63 @@ def radius_join_fast(points: DataFrame, parts_df: DataFrame, radius_m: float,
             .agg(F.min("dist_m").alias("distance"),
                  F.expr("min_by(fraction, dist_m)").alias("fraction"))
             .select(point_id, "gid", "fraction", "distance"))
+
+
+def _fast_candidates(points: DataFrame, parts_df: DataFrame, radius_m: float,
+                     res: int, point_id: str) -> DataFrame:
+    """Shared candidate stage of the codegen join family: cell
+    equi-join + refine expressions (dist_m, fraction) — no filter."""
+    from . import tiles as T
+    fr = seg_refine_sql(radius_m)
+    pts = points.withColumn("cell", T.cell_expr(F.col("lat"), F.col("lon"), res))
+    return (pts.join(F.broadcast(parts_df), "cell")
+            .withColumn("dist_m", F.expr(fr["dist"]))
+            .withColumn("fraction", F.expr(fr["frac"])))
+
+
+def nearest_join_fast(points: DataFrame, parts_df: DataFrame,
+                      max_radius_m: float, res: int,
+                      point_id: str = "point_id") -> DataFrame:
+    """Nearest road within max_radius_m per point, ties kept (the
+    kernel nearest_join's tie semantics) — pure Catalyst: candidate
+    cell join + codegen refine + rank()=1 window. Points with no road
+    within max_radius_m produce no row (the expanding-ring kernel
+    keeps searching; at 10^12 scale a bounded nearest is the correct
+    contract — unbounded search belongs to the broadcast-kernel path).
+    parts_df must be built with segment_parts_pdf(idx, max_radius_m,
+    res) so the cover guarantees completeness within the bound."""
+    cand = _fast_candidates(points, parts_df, max_radius_m, res, point_id) \
+        .filter(F.col("dist_m") <= max_radius_m)
+    per_road = (cand.groupBy(point_id, "gid")
+                .agg(F.min("dist_m").alias("distance"),
+                     F.expr("min_by(fraction, dist_m)").alias("fraction")))
+    w = Window.partitionBy(point_id).orderBy(F.col("distance").asc())
+    return (per_road.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(point_id, "gid", "fraction", "distance"))
+
+
+def knn_join_fast(points: DataFrame, parts_df: DataFrame, k: int,
+                  max_radius_m: float, res: int,
+                  point_id: str = "point_id") -> DataFrame:
+    """k nearest roads within max_radius_m per point — candidate cell
+    join + codegen refine + row_number()<=k (deterministic tie-break by
+    gid, matching the kernel's ordering). Bounded-kNN contract as
+    nearest_join_fast; if fewer than k roads lie within the bound the
+    point yields fewer rows (the kernel's expanding ring would keep
+    going — QuadTreeIndex.java:243-247's radius guard is what makes
+    the bounded form correct)."""
+    cand = _fast_candidates(points, parts_df, max_radius_m, res, point_id) \
+        .filter(F.col("dist_m") <= max_radius_m)
+    per_road = (cand.groupBy(point_id, "gid")
+                .agg(F.min("dist_m").alias("distance"),
+                     F.expr("min_by(fraction, dist_m)").alias("fraction")))
+    w = Window.partitionBy(point_id).orderBy(F.col("distance").asc(),
+                                             F.col("gid").asc())
+    return (per_road.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(point_id, "gid", "fraction", "distance",
+                    F.col("rnk").cast("long").alias("rnk")))
 
 
 # ---------------------------------------------------------------------------

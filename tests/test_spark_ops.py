@@ -189,3 +189,44 @@ def test_radius_join_fast_plan_is_codegen(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("Python", "MapInPandas", "ArrowEval"):
         assert bad not in plan, plan[:500]
+
+
+def test_nearest_and_knn_fast_match_kernel(spark):
+    """Codegen nearest/kNN vs the exact kernel on grid roads: same
+    road ids wherever distances are unambiguous (>1% separation), and
+    distances within the planar-refine bound."""
+    g_idx = RoadIndex(roads.grid_pdf(8, seed=42), res=15)
+    rng = np.random.default_rng(6)
+    n = 200
+    lat = rng.uniform(48.0, 48.0 + 8 * 0.005, n)
+    lon = rng.uniform(11.0, 11.0 + 8 * 0.005, n)
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"point_id": np.arange(n), "lat": lat, "lon": lon}))
+    R = 400.0
+    parts = spark.createDataFrame(joins.segment_parts_pdf(g_idx, R, 15))
+
+    near = joins.nearest_join_fast(pts, parts, R, 15).toPandas()
+    p, base, frac, dist = g_idx.nearest(lat, lon)
+    exact_near = {}
+    for i in range(len(p)):
+        exact_near.setdefault(int(p[i]), []).append((dist[i], int(g_idx.gid[base[i]])))
+    assert set(near.point_id) == set(exact_near)       # grid: all within R
+    for pid, grp in near.groupby("point_id"):
+        ex = sorted(exact_near[int(pid)])
+        d0 = ex[0][0]
+        # unambiguous cases must pick the same road
+        if len(ex) == 1 or (len(ex) > 1 and ex[1][0] > d0 * 1.01 + 1.0):
+            runners = {d for d, g in [(dd, gg) for dd, gg in ex]}
+            assert ex[0][1] in set(grp.gid), (pid, ex, grp)
+        for d in grp.distance:
+            assert abs(d - d0) <= max(1.0, 0.01 * d0)
+
+    k = 3
+    knn = joins.knn_join_fast(pts, parts, k, R, 15).toPandas()
+    pk, basek, frack, distk = g_idx.knearest(lat, lon, k)
+    for pid in range(0, n, 11):
+        ex = sorted(distk[pk == pid])
+        got = sorted(knn[knn.point_id == pid]["distance"])
+        assert len(got) == min(k, len(ex))
+        for a, b in zip(got, ex):
+            assert abs(a - b) <= max(1.0, 0.01 * b), (pid, got, ex)
