@@ -206,8 +206,15 @@ class RoadIndex:
                     poly_for_point=pair_base)
                 best = np.full(len(pending), np.inf)
                 np.minimum.at(best, pair_pt, dist)
-                done = np.isfinite(best)
-                is_min = dist == best[pair_pt]
+                # accept only when best <= radius: envelope candidates at
+                # ring r can lie beyond r while a closer segment's
+                # envelope was not searched yet — the same guard the
+                # reference applies (QuadTreeIndex.java:156-165; the kNN
+                # variant's guard is :243-247). Without it, a point whose
+                # true nearest sits just outside the ring locks in a
+                # farther envelope-overlapping segment.
+                done = np.isfinite(best) & (best <= radius)
+                is_min = done[pair_pt] & (dist == best[pair_pt])
                 out["pt"].append(pending[pair_pt[is_min]])
                 out["base"].append(pair_base[is_min])
                 out["frac"].append(frac[is_min])

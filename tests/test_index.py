@@ -117,3 +117,31 @@ def test_edge_point_geometry(micro):
     lat, lon, azi = micro.edge_point(eidx, np.array([0.5]))
     assert abs(lon[0] - 11.005) < 1e-6
     assert abs(azi[0] - 270.0) < 0.5
+
+
+def test_nearest_ring_guard_brute_force():
+    """Regression (found via the codegen-join cross-check): a candidate
+    whose envelope overlaps ring r can lie beyond r while the true
+    nearest road sits just outside the ring — nearest must keep
+    expanding, not lock in the farther hit (QuadTreeIndex.java:156-165
+    guard). Brute-force distance over every polyline is the oracle."""
+    idx2 = RoadIndex(roads.grid_pdf(8, seed=42), res=15)
+    rng = np.random.default_rng(6)
+    n = 200
+    lat = rng.uniform(48.0, 48.0 + 8 * 0.005, n)
+    lon = rng.uniform(11.0, 11.0 + 8 * 0.005, n)
+    p, base, frac, dist = idx2.nearest(lat, lon)
+    offs = np.asarray(idx2.offsets)
+    for i in range(0, n, 13):
+        best = np.inf
+        for q in range(len(offs) - 1):
+            c = idx2.coords[offs[q]:offs[q + 1]]
+            for s in range(len(c) - 1):
+                f = np.linspace(0, 1, 201)
+                la = c[s][1] + f * (c[s + 1][1] - c[s][1])
+                lo = c[s][0] + f * (c[s + 1][0] - c[s][0])
+                best = min(best, geo.distance(
+                    np.full(201, lat[i]), np.full(201, lon[i]), la, lo).min())
+        got = dist[p == i].min()
+        # dense sampling overestimates the true min slightly
+        assert got <= best + 0.5, (i, got, best)
