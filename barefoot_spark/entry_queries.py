@@ -204,6 +204,89 @@ def oracle_radius_join_fast(sf_dir):
     """
 
 
+def q_nearest_join_fast(spark, sf_dir):
+    """Bounded nearest road per point (ties kept) — pure-Catalyst
+    candidate cell join + rank()=1 window (joins.nearest_join_fast)."""
+    pts = _points(spark, sf_dir).selectExpr("point_id", "py AS lat", "px AS lon")
+    parts = spark.createDataFrame(_fast_parts_pdf())
+    out = J.nearest_join_fast(pts, parts, 250.0, 15)
+    return out.select("point_id", "gid",
+                      F.round("fraction", 6).alias("fraction"),
+                      F.round("distance", 3).alias("dist_m"))
+
+
+def oracle_nearest_join_fast(sf_dir):
+    parts = _fast_parts_pdf()
+    vals = ", ".join(
+        f"({int(r.cell)}, {int(r.gid)}, {r.ax!r}e0, {r.ay!r}e0, {r.bx!r}e0, "
+        f"{r.by!r}e0, {r.cum_before!r}e0, {r.seg_len!r}e0, {r.total_len!r}e0)"
+        for r in parts.itertuples(index=False))
+    fr = J.seg_refine_sql(250.0)
+    cexpr = T.cell_expr_sql("lat", "lon", 15)
+    return f"""
+        WITH parts(cell, gid, ax, ay, bx, by, cum_before, seg_len, total_len)
+             AS (VALUES {vals}),
+        pts AS (SELECT point_id, py AS lat, px AS lon FROM ({POINTS_SQL_BODY})),
+        cand AS (
+            SELECT point_id, gid, {fr['dist']} AS dist_m, {fr['frac']} AS fraction
+            FROM pts JOIN parts ON parts.cell = {cexpr}
+        ), per_road AS (
+            SELECT point_id, gid, min(dist_m) AS distance,
+                   min_by(fraction, dist_m) AS fraction
+            FROM cand WHERE dist_m <= 250.0e0 GROUP BY point_id, gid
+        ), r AS (
+            SELECT point_id, gid, fraction, distance,
+                   rank() OVER (PARTITION BY point_id ORDER BY distance ASC) AS rnk
+            FROM per_road
+        )
+        SELECT point_id, gid, round(fraction, 6) AS fraction,
+               round(distance, 3) AS dist_m
+        FROM r WHERE rnk = 1
+    """
+
+
+def q_knn_join_fast(spark, sf_dir):
+    """Bounded 3-NN roads per point — candidate cell join +
+    row_number()<=3 (gid tie-break), pure Catalyst."""
+    pts = _points(spark, sf_dir).selectExpr("point_id", "py AS lat", "px AS lon")
+    parts = spark.createDataFrame(_fast_parts_pdf())
+    out = J.knn_join_fast(pts, parts, 3, 250.0, 15)
+    return out.select("point_id", "gid",
+                      F.round("fraction", 6).alias("fraction"),
+                      F.round("distance", 3).alias("dist_m"), "rnk")
+
+
+def oracle_knn_join_fast(sf_dir):
+    parts = _fast_parts_pdf()
+    vals = ", ".join(
+        f"({int(r.cell)}, {int(r.gid)}, {r.ax!r}e0, {r.ay!r}e0, {r.bx!r}e0, "
+        f"{r.by!r}e0, {r.cum_before!r}e0, {r.seg_len!r}e0, {r.total_len!r}e0)"
+        for r in parts.itertuples(index=False))
+    fr = J.seg_refine_sql(250.0)
+    cexpr = T.cell_expr_sql("lat", "lon", 15)
+    return f"""
+        WITH parts(cell, gid, ax, ay, bx, by, cum_before, seg_len, total_len)
+             AS (VALUES {vals}),
+        pts AS (SELECT point_id, py AS lat, px AS lon FROM ({POINTS_SQL_BODY})),
+        cand AS (
+            SELECT point_id, gid, {fr['dist']} AS dist_m, {fr['frac']} AS fraction
+            FROM pts JOIN parts ON parts.cell = {cexpr}
+        ), per_road AS (
+            SELECT point_id, gid, min(dist_m) AS distance,
+                   min_by(fraction, dist_m) AS fraction
+            FROM cand WHERE dist_m <= 250.0e0 GROUP BY point_id, gid
+        ), r AS (
+            SELECT point_id, gid, fraction, distance,
+                   row_number() OVER (PARTITION BY point_id
+                       ORDER BY distance ASC, gid ASC) AS rnk
+            FROM per_road
+        )
+        SELECT point_id, gid, round(fraction, 6) AS fraction,
+               round(distance, 3) AS dist_m, rnk
+        FROM r WHERE rnk <= 3
+    """
+
+
 def q_knn_join(spark, sf_dir):
     pts = _points(spark, sf_dir)
     segs = _segs(spark)
@@ -678,6 +761,8 @@ QUERIES = {
     "tile_counts": q_tile_counts,
     "radius_join": q_radius_join,
     "radius_join_fast": q_radius_join_fast,
+    "nearest_join_fast": q_nearest_join_fast,
+    "knn_join_fast": q_knn_join_fast,
     "knn_join": q_knn_join,
     "nearest_join": q_nearest_join,
     "point_in_polygon": q_point_in_polygon,
@@ -711,6 +796,8 @@ ORACLES = {
     "tile_counts": oracle_tile_counts,
     "radius_join": oracle_radius_join,
     "radius_join_fast": oracle_radius_join_fast,
+    "nearest_join_fast": oracle_nearest_join_fast,
+    "knn_join_fast": oracle_knn_join_fast,
     "knn_join": oracle_knn_join,
     "nearest_join": oracle_nearest_join,
     "point_in_polygon": oracle_point_in_polygon,
