@@ -333,6 +333,94 @@ def oracle_nearest_join(sf_dir):
             f"SELECT point_id, gid, round(dist_m, 3) AS dist_m FROM r WHERE rnk = 1")
 
 
+def _roads_vals(pdf):
+    return ", ".join(
+        f"({int(r.gid)}, {int(r.source)}, {int(r.target)}, "
+        f"{'true' if r.oneway else 'false'}, {int(r.maxspeed_forward)}, "
+        f"{int(r.maxspeed_backward)}, {int(r.class_id)}, {r.priority!r}e0, "
+        f"{r.length!r}e0)"
+        for r in pdf.itertuples(index=False))
+
+
+def q_directed_edges(spark, sf_dir):
+    """Directed-edge split view (Road.java:61-74 / RoadMap.split):
+    forward id = gid*2, backward id = gid*2+1 for two-way roads with
+    swapped endpoints + backward maxspeed, and precomputed cost
+    columns — pure projection+union, no shuffle. Over the reference's
+    RoadMapTest junction map."""
+    rdf = roads.roads_df(spark, roads.junction6_pdf())
+    e = roads.edges_view(rdf)
+    return e.select("edge_id", "source", "target", "forward", "maxspeed",
+                    "gid", F.col("class_id").cast("long").alias("class_id"),
+                    F.round("length", 3).alias("length_m"),
+                    F.round("cost_time", 6).alias("cost_time"),
+                    F.round("cost_timeprio", 6).alias("cost_timeprio"))
+
+
+def oracle_directed_edges(sf_dir):
+    vals = _roads_vals(roads.junction6_pdf())
+    time = "(length * 3.6e0 / least(cast(maxspeed AS DOUBLE), 130.0e0))"
+    return f"""
+        WITH r(gid, source, target, oneway, maxspeed_forward,
+               maxspeed_backward, class_id, priority, length)
+             AS (VALUES {vals}),
+        e AS (
+            SELECT gid * 2 AS edge_id, source, target, true AS forward,
+                   maxspeed_forward AS maxspeed, gid, class_id, priority, length
+            FROM r
+            UNION ALL
+            SELECT gid * 2 + 1, target, source, false,
+                   maxspeed_backward, gid, class_id, priority, length
+            FROM r WHERE NOT oneway
+        )
+        SELECT edge_id, source, target, forward, maxspeed, gid, class_id,
+               round(length, 3) AS length_m,
+               round({time}, 6) AS cost_time,
+               round({time} * greatest(1.0e0, priority), 6) AS cost_timeprio
+        FROM e
+    """
+
+
+def q_road_type_gate(spark, sf_dir):
+    """Road-type config gate + maxspeed defaulting
+    (road/PostGISReader.java:140-158): inner broadcast join against the
+    road-types dim; zero/NULL maxspeeds default from config; priority
+    comes from config."""
+    pdf = roads.micro7_pdf()
+    pdf = pdf.copy()
+    # unconfigured class + zero maxspeed rows to exercise the gate
+    pdf.loc[pdf.gid == 6, "class_id"] = 99
+    pdf.loc[pdf.gid == 2, "maxspeed_forward"] = 0
+    rdf = roads.roads_df(spark, pdf)
+    types = spark.createDataFrame(roads.road_types_pdf())
+    out = roads.apply_road_type_config(rdf, types)
+    return out.select("gid", F.col("class_id").cast("long").alias("class_id"),
+                      "maxspeed_forward", "maxspeed_backward",
+                      F.round("priority", 4).alias("priority"))
+
+
+def oracle_road_type_gate(sf_dir):
+    pdf = roads.micro7_pdf().copy()
+    pdf.loc[pdf.gid == 6, "class_id"] = 99
+    pdf.loc[pdf.gid == 2, "maxspeed_forward"] = 0
+    vals = _roads_vals(pdf)
+    tvals = ", ".join(f"({int(r.class_id)}, {r.priority!r}e0, {int(r.maxspeed)})"
+                      for r in roads.road_types_pdf().itertuples(index=False))
+    return f"""
+        WITH r(gid, source, target, oneway, maxspeed_forward,
+               maxspeed_backward, class_id, priority, length)
+             AS (VALUES {vals}),
+        t(class_id, t_priority, t_maxspeed) AS (VALUES {tvals})
+        SELECT gid, r.class_id,
+               CASE WHEN maxspeed_forward IS NULL OR maxspeed_forward <= 0
+                    THEN t_maxspeed ELSE maxspeed_forward END AS maxspeed_forward,
+               CASE WHEN maxspeed_backward IS NULL OR maxspeed_backward <= 0
+                    THEN t_maxspeed ELSE maxspeed_backward END AS maxspeed_backward,
+               round(t_priority, 4) AS priority
+        FROM r JOIN t ON t.class_id = r.class_id
+    """
+
+
 def q_point_in_polygon(spark, sf_dir):
     """Runs the real ray-cast kernel operator; the oracle expands the
     same even-odd formula in SQL."""
@@ -759,6 +847,8 @@ def q_image_verify(spark, sf_dir):
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_counts": q_tile_counts,
+    "directed_edges": q_directed_edges,
+    "road_type_gate": q_road_type_gate,
     "radius_join": q_radius_join,
     "radius_join_fast": q_radius_join_fast,
     "nearest_join_fast": q_nearest_join_fast,
@@ -794,6 +884,8 @@ QUERIES = {
 ORACLES = {
     "tile_assign": oracle_tile_assign,
     "tile_counts": oracle_tile_counts,
+    "directed_edges": oracle_directed_edges,
+    "road_type_gate": oracle_road_type_gate,
     "radius_join": oracle_radius_join,
     "radius_join_fast": oracle_radius_join_fast,
     "nearest_join_fast": oracle_nearest_join_fast,
