@@ -268,3 +268,79 @@ def test_x0001_fixture_end_to_end_match():
     for r in rows:
         for e in r[9]:
             assert int(e) in known
+
+
+def _stub_idx(edges):
+    """Minimal routing-only index from (edge_id, source, target) tuples:
+    successor CSR exactly as RoadIndex builds it (succ(e) = edges whose
+    source == target(e))."""
+    from types import SimpleNamespace
+    import numpy as np
+    n = len(edges)
+    succs = [[j for j in range(n) if edges[j][1] == edges[i][2]]
+             for i in range(n)]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    flat = []
+    for i, s in enumerate(succs):
+        flat.extend(s)
+        offsets[i + 1] = len(flat)
+    return SimpleNamespace(succ_offsets=offsets,
+                           successors=np.array(flat, dtype=np.int64))
+
+
+def _best_route(idx, sources, target, cost):
+    """Multi-source route = per-source SSMT, keep min fractional cost
+    (the reference's route(Set, Set) semantics, Dijkstra.java:65-73)."""
+    best, best_path = None, None
+    for se, sf in sources:
+        paths = M.route_ssmt(idx, (se, sf), [target], cost)
+        p = paths[0]
+        if p is None:
+            continue
+        c = M.path_cost(idx, p, sf, target[1], cost)
+        if best is None or c < best:
+            best, best_path = c, p
+    return best_path
+
+
+def test_dijkstra_same_road_reference_cases():
+    """DijkstraTest.testSameRoad (DijkstraTest.java:77-172) verbatim:
+    5-edge abstract graph, weights as cost."""
+    import numpy as np
+    edges = [(0, 0, 1), (1, 1, 0), (2, 0, 2), (3, 1, 2), (4, 1, 3)]
+    idx = _stub_idx(edges)
+    w = np.array([100.0, 20.0, 100.0, 100.0, 100.0])
+    assert M.route_ssmt(idx, (0, 0.3), [(0, 0.3)], w)[0] == [0]
+    assert M.route_ssmt(idx, (0, 0.3), [(0, 0.7)], w)[0] == [0]
+    assert M.route_ssmt(idx, (0, 0.7), [(0, 0.3)], w)[0] == [0, 1, 0]
+    assert _best_route(idx, [(0, 0.8), (1, 0.2)], (0, 0.7), w) == [1, 0]
+
+
+def test_dijkstra_self_loop_reference_cases():
+    """DijkstraTest.testSelfLoop (DijkstraTest.java:176-271) verbatim:
+    two self-loop edges on one vertex."""
+    import numpy as np
+    edges = [(0, 0, 0), (1, 0, 0)]
+    idx = _stub_idx(edges)
+    w = np.array([100.0, 100.0])
+    assert M.route_ssmt(idx, (0, 0.3), [(0, 0.7)], w)[0] == [0]
+    assert M.route_ssmt(idx, (0, 0.7), [(0, 0.3)], w)[0] == [0, 0]
+    assert _best_route(idx, [(0, 0.8), (1, 0.2)], (0, 0.2), w) == [0, 0]
+    assert _best_route(idx, [(0, 0.4), (1, 0.6)], (0, 0.3), w) == [1, 0]
+
+
+def test_dijkstra_shortest_path_reference_graph():
+    """DijkstraTest.testShortestPath first block (DijkstraTest.java:
+    273-331): 18-edge weighted graph, multi-source multi-target expected
+    paths verbatim."""
+    import numpy as np
+    E = [(0, 0, 1, 100), (1, 1, 0, 100), (2, 0, 2, 160), (3, 2, 0, 160),
+         (4, 1, 2, 50), (5, 2, 1, 50), (6, 1, 3, 200), (7, 3, 1, 200),
+         (8, 2, 3, 100), (9, 3, 2, 100), (10, 2, 4, 40), (11, 4, 2, 40),
+         (12, 3, 4, 100), (13, 4, 3, 100), (14, 3, 5, 200), (15, 5, 3, 200),
+         (16, 4, 5, 60), (17, 5, 4, 60)]
+    idx = _stub_idx([(e, s, t) for e, s, t, _ in E])
+    w = np.array([float(c) for _, _, _, c in E])
+    sources = [(0, 0.3), (1, 0.7)]
+    assert _best_route(idx, sources, (14, 0.3), w) == [0, 4, 8, 14]
+    assert _best_route(idx, sources, (15, 0.7), w) == [0, 4, 10, 16, 15]
