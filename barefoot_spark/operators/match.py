@@ -276,6 +276,59 @@ def _candidates_for_trace(idx: RoadIndex, lats, lons, params: MatcherParams):
     return out
 
 
+def hmm_forward_arrays(filt_prev, seq_prev, trans, emission):
+    """Pure HMM forward recurrence (Filter.execute,
+    markov/Filter.java:114-244) over arrays.
+
+    filt_prev/seq_prev: (P,) predecessor probabilities (seq in log10);
+    trans: (P, C) transition probabilities; emission: (C,).
+
+    Returns (filtprob, seqprob, pred, keep):
+    - keep[c]: candidate included in the result vector — reachable with
+      positive accumulated transition mass (Filter.java:196-198 keeps
+      such candidates even when emission is 0), or emission-seeded on
+      HMM break / empty predecessors (Filter.java:208-232)
+    - pred[c]: argmax predecessor index, -1 for seeded candidates
+    - filtprob normalized over the kept set (Filter.java:238-240);
+      if every kept filtprob underflows to exactly 0 the reference
+      would normalize by zero (NaN) — we re-seed from emissions
+      instead (documented deviation)."""
+    filt_prev = np.asarray(filt_prev, dtype=np.float64)
+    seq_prev = np.asarray(seq_prev, dtype=np.float64)
+    emission = np.asarray(emission, dtype=np.float64)
+    P, C = len(filt_prev), len(emission)
+    filtprob = np.zeros(C)
+    seqprob = np.full(C, -np.inf)
+    pred = np.full(C, -1, dtype=np.int64)
+    keep = np.zeros(C, dtype=bool)
+    if P and C:
+        trans = np.asarray(trans, dtype=np.float64).reshape(P, C)
+        ok = trans > 0
+        filt_col = (trans * filt_prev[:, None]).sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            log_t = np.where(ok, np.log10(np.where(ok, trans, 1.0)), -np.inf)
+            log_e = np.where(emission > 0, np.log10(
+                np.where(emission > 0, emission, 1.0)), -np.inf)
+        seq_mat = seq_prev[:, None] + log_t + log_e[None, :]
+        best = np.argmax(seq_mat, axis=0)
+        keep = ok.any(axis=0) & (filt_col > 0)
+        filtprob = np.where(keep, filt_col * emission, 0.0)
+        seqprob = np.where(keep, seq_mat[best, np.arange(C)], -np.inf)
+        pred = np.where(keep, best, -1)
+    normsum = filtprob[keep].sum()
+    if not keep.any() or P == 0 or normsum == 0.0:
+        keep = emission > 0
+        filtprob = np.where(keep, emission, 0.0)
+        with np.errstate(divide="ignore"):
+            seqprob = np.where(keep, np.log10(np.where(keep, emission, 1.0)),
+                               -np.inf)
+        pred = np.full(C, -1, dtype=np.int64)
+        normsum = filtprob[keep].sum()
+    if normsum > 0:
+        filtprob = np.where(keep, filtprob / normsum, filtprob)
+    return filtprob, seqprob, pred, keep
+
+
 def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
                  prev_time, t_ms: int, lat: float, lon: float, azi: float,
                  precomputed=None):
@@ -356,7 +409,6 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
 
     # ------ transitions + forward step (Filter.execute) ------
     result: list[_Cand] = []
-    normsum = 0.0
     if prev_vector and cands:
         dt_ms = int(t_ms - prev_time)
         bound = max(1000.0, min(params.max_distance, (dt_ms // 1000) * 100.0))
@@ -392,56 +444,41 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
                 routes[pi][ci] = path
                 rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_vec)
 
-        # vectorized forward step over the whole (P x C) matrix:
-        # F_t = e ⊙ (Tᵀ F_{t-1}); S_t = max/argmax(S_{t-1} + log10 T)
-        # + log10 e (markov/Filter.java:130-232 recurrences)
+        # pure forward recurrence over the whole (P x C) matrix
+        # (hmm_forward_arrays — tested against the reference's
+        # FilterTest dense-matrix oracle)
         filt_prev = np.array([p.filtprob for p in prev_vector])
         seq_prev = np.array([p.seqprob for p in prev_vector])
-        ok = trans > 0
-        filt_col = (trans * filt_prev[:, None]).sum(axis=0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            log_t = np.where(ok, np.log10(np.where(ok, trans, 1.0)), -np.inf)
-            log_e = np.where(emission > 0, np.log10(
-                np.where(emission > 0, emission, 1.0)), -np.inf)
-        seq_mat = seq_prev[:, None] + log_t + log_e[None, :]
-        best_pred = np.argmax(seq_mat, axis=0)
-        keep = ok.any(axis=0) & (filt_col > 0)
+        filtprob, seqprob, pred, keep = hmm_forward_arrays(
+            filt_prev, seq_prev, trans, emission)
         for ci in np.flatnonzero(keep):
             c = cands[ci]
-            best = int(best_pred[ci])
-            c.filtprob = float(filt_col[ci]) * float(emission[ci])
-            c.seqprob = float(seq_mat[best, ci])
-            c.pred = prev_vector[best]
-            c.route = routes[best][ci]
-            c.route_len = float(rlens[best, ci])
+            c.filtprob = float(filtprob[ci])
+            c.seqprob = float(seqprob[ci])
+            if pred[ci] >= 0:
+                best = int(pred[ci])
+                c.pred = prev_vector[best]
+                c.route = routes[best][ci]
+                c.route_len = float(rlens[best, ci])
+            else:
+                c.pred = None
+                c.route = None
+                c.route_len = None
             result.append(c)
-            normsum += c.filtprob
-
-    # numerical HMM break: when the only predecessors that can reach
-    # any candidate carry subnormal filtprobs, every filt*emission
-    # product underflows to exactly 0 and the vector is unnormalizable.
-    # The reference would divide 0/0 here and silently propagate NaN
-    # (Filter.java:238-240); we treat it as the HMM-break case instead —
-    # re-seed from raw emissions, keeping the chain repair below.
-    if result and normsum == 0.0:
-        result = []
-
-    # HMM break / initial seeding (Filter.java:207-232)
-    if not result:
-        for ci, c in enumerate(cands):
-            if emission[ci] == 0:
-                continue
-            c.filtprob = float(emission[ci])
-            c.seqprob = float(np.log10(emission[ci]))
+    elif cands:
+        # no predecessors: initial seeding through the same recurrence
+        filtprob, seqprob, pred, keep = hmm_forward_arrays(
+            np.zeros(0), np.zeros(0), np.zeros((0, len(cands))), emission)
+        for ci in np.flatnonzero(keep):
+            c = cands[ci]
+            c.filtprob = float(filtprob[ci])
+            c.seqprob = float(seqprob[ci])
             c.pred = None
             c.route = None
             c.route_len = None
             result.append(c)
-            normsum += c.filtprob
 
     if result:
-        for c in result:
-            c.filtprob /= normsum
         # KState.update: break candidates chain to previous estimate
         # (KState.java:186-189)
         if prev_vector:

@@ -344,3 +344,83 @@ def test_dijkstra_shortest_path_reference_graph():
     sources = [(0, 0.3), (1, 0.7)]
     assert _best_route(idx, sources, (14, 0.3), w) == [0, 4, 8, 14]
     assert _best_route(idx, sources, (15, 0.7), w) == [0, 4, 10, 16, 15]
+
+
+def _mock_states(matrix):
+    """FilterTest.MockStates oracle (FilterTest.java:45-120): row 0 =
+    [0, 0, emissions...]; rows 1..P = [filtprob, seqprob_base,
+    transitions...]. Returns expected (filtprob, seqprob, pred)."""
+    import numpy as np
+    m = np.asarray(matrix, dtype=np.float64)
+    C = m.shape[1] - 2
+    P = m.shape[0] - 1
+    emission = m[0, 2:]
+    filt = np.zeros(C)
+    seq = np.full(C, -np.inf)
+    pred = np.full(C, -1)
+    normsum = 0.0
+    for c in range(C):
+        has_t = False
+        for p in range(P):
+            t = m[p + 1, c + 2]
+            if t == 0:
+                continue
+            has_t = True
+            filt[c] += m[p + 1, 0] * t
+            s = np.log10(m[p + 1, 1]) + np.log10(t) + np.log10(emission[c])
+            if s > seq[c]:
+                pred[c] = p
+                seq[c] = s
+        if not has_t:
+            filt[c] = emission[c]
+            seq[c] = np.log10(emission[c])
+            pred[c] = -1
+        else:
+            filt[c] *= emission[c]
+        normsum += filt[c]
+    return filt / normsum, seq, pred, emission, m
+
+
+def test_hmm_forward_filtertest_initial():
+    """FilterTest.FilterTestInitial (FilterTest.java:166-186)."""
+    want_f, want_s, want_p, emission, m = _mock_states(
+        [[0, 0, 0.6, 1.0, 0.4]])
+    f, s, p, keep = M.hmm_forward_arrays(
+        np.zeros(0), np.zeros(0), np.zeros((0, 3)), emission)
+    assert keep.all()
+    np.testing.assert_allclose(f, want_f, atol=1e-6)
+    np.testing.assert_allclose(s, want_s, atol=1e-6)
+    assert (p == -1).all()
+
+
+def test_hmm_forward_filtertest_subsequent():
+    """FilterTest.FilterTestSubsequent (FilterTest.java:188-210):
+    2 predecessors x 3 candidates, full matrices."""
+    mat = [[0, 0, 0.6, 1.0, 0.4],
+           [0.2, 0.3, 0.01, 0.02, 0.3],
+           [0.3, 0.4, 0.2, 0.05, 0.02]]
+    want_f, want_s, want_p, emission, m = _mock_states(mat)
+    filt_prev = m[1:, 0]
+    seq_prev = np.log10(m[1:, 1])
+    trans = m[1:, 2:]
+    f, s, p, keep = M.hmm_forward_arrays(filt_prev, seq_prev, trans, emission)
+    assert keep.all()
+    np.testing.assert_allclose(f, want_f, atol=1e-6)
+    np.testing.assert_allclose(s, want_s, atol=1e-6)
+    np.testing.assert_array_equal(p, want_p)
+
+
+def test_hmm_forward_filtertest_break_transition():
+    """FilterTest.FilterTestBreakTransition (FilterTest.java:212-236):
+    all transitions zero -> every candidate re-seeds from emissions
+    with no predecessor."""
+    mat = [[0, 0, 0.6, 1.0, 0.4],
+           [0.2, 0.3, 0, 0, 0],
+           [0.3, 0.4, 0, 0, 0]]
+    want_f, want_s, want_p, emission, m = _mock_states(mat)
+    f, s, p, keep = M.hmm_forward_arrays(
+        m[1:, 0], np.log10(m[1:, 1]), m[1:, 2:], emission)
+    assert keep.all()
+    np.testing.assert_allclose(f, want_f, atol=1e-6)
+    np.testing.assert_allclose(s, want_s, atol=1e-6)
+    assert (p == -1).all()
