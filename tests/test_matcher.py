@@ -424,3 +424,37 @@ def test_hmm_forward_filtertest_break_transition():
     np.testing.assert_allclose(f, want_f, atol=1e-6)
     np.testing.assert_allclose(s, want_s, atol=1e-6)
     assert (p == -1).all()
+
+
+def test_minset_reference_goldens():
+    """MinsetTest.TestMinset1/TestMinset2 (matcher/MinsetTest.java:
+    44-257) verbatim: candidate (edge_id, fraction) sets -> expected
+    minimal sets."""
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+
+    # map 1: 6 oneway roads (MinsetTest.java:55-60); directed ids = gid*2
+    m1 = RoadIndex(R.roads_pdf_from_entries([
+        (0, 0, 2, True, "LINESTRING(0 0, 1 1)"),
+        (1, 1, 2, True, "LINESTRING(0 2, 1 1)"),
+        (2, 2, 3, True, "LINESTRING(1 1, 2 1)"),
+        (3, 3, 4, True, "LINESTRING(2 1, 3 2)"),
+        (4, 3, 5, True, "LINESTRING(2 1, 3 1)"),
+        (5, 3, 6, True, "LINESTRING(2 1, 3 0)")]), res=10)
+
+    def run(idx, cand):
+        eids = np.array([e for e, _ in cand], dtype=np.int64)
+        fracs = np.array([f for _, f in cand], dtype=np.float64)
+        ei, fr = M.minset(idx, idx.eid_to_idx(eids), fracs)
+        return set(int(x) for x in idx.edge_id[ei])
+
+    assert run(m1, [(0, 1), (2, 1), (4, 0.5), (6, 0), (8, 0), (10, 0)]) == {4}
+    assert run(m1, [(0, 1), (2, 1), (4, 1), (8, 0.5), (10, 0.5)]) == {4, 8, 10}
+    assert run(m1, [(4, 1), (6, 0.0), (8, 0.5), (10, 0.5)]) == {4, 8, 10}
+    assert run(m1, [(0, 1), (2, 1), (4, 1), (6, 0.2), (8, 0.5), (10, 0.5)]) \
+        == {6, 8, 10}
+
+    # map 2: micro7 minus road 6 (MinsetTest.java:189-194)
+    m2 = RoadIndex(R.roads_pdf_from_entries(
+        [(g, s, t, o, w) for g, s, t, o, w in R.MICRO7[:6]]), res=15)
+    assert run(m2, [(0, 1), (1, 0), (2, 0), (3, 1), (6, 0), (8, 0)]) == {0, 3}
