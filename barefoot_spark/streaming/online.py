@@ -41,6 +41,21 @@ class OnlineState:
     death_time_ms: int | None = None               # TTL bookkeeping
 
 
+def prune_chains(sequence):
+    """Reference-count chain pruning (KState.update/remove,
+    markov/KState.java:177-231,233-253): every non-final vector keeps
+    only candidates lying on some ancestor chain of the final vector —
+    unreferenced candidates (and transitively their ancestors) are
+    deleted. This is what keeps long-lived online state bounded by
+    O(k x vector width) instead of growing with trace length."""
+    if len(sequence) < 2:
+        return
+    referenced = {id(c.pred) for c in sequence[-1][0] if c.pred is not None}
+    for vec, _t in reversed(sequence[:-1]):
+        vec[:] = [c for c in vec if id(c) in referenced]
+        referenced = {id(c.pred) for c in vec if c.pred is not None}
+
+
 class OnlineMatcher:
     def __init__(self, idx: RoadIndex, params: MatcherParams | None = None,
                  k: int = -1, tau_ms: int = -1, ttl_ms: int = 60_000,
@@ -81,7 +96,8 @@ class OnlineMatcher:
         if not vector:
             return "break", False, None
 
-        st.sequence.append((vector, t_ms))
+        st.sequence.append(([c for c in vector], t_ms))
+        prune_chains(st.sequence)
         st.last_time, st.last_lat, st.last_lon = t_ms, lat, lon
         st.death_time_ms = (now_ms if now_ms is not None else t_ms) + self.ttl_ms
 

@@ -101,3 +101,73 @@ def test_publish_suppression(idx):
     # larger move -> published
     status, publish, _ = om.update("t", 120000, 48.001, 11.008)
     assert status == "ok" and publish is True
+
+
+def test_kstate_unbound_reference_goldens():
+    """KStateTest.TestKStateUnbound (markov/KStateTest.java:68-157)
+    verbatim: retained sizes after chain pruning, estimates, and
+    Viterbi sequences across four updates incl. an HMM break (null
+    preds repaired to the previous estimate) and an empty update."""
+    import math
+    from barefoot_spark.operators.match import _Cand, estimate
+    from barefoot_spark.streaming.online import prune_chains
+
+    def mk(numid, filtprob, pred):
+        c = _Cand(numid, 0.0, 0.0, 0.0, 0.0)
+        c.filtprob = filtprob
+        c.seqprob = math.log10(filtprob)
+        c.pred = pred
+        return c
+
+    e = {}
+    seq = []
+
+    def update(vector):
+        # KState.update incl. null-pred chain repair (KState.java:186-189)
+        if not vector:
+            return
+        if seq:
+            prev_est = estimate(seq[-1][0])
+            for c in vector:
+                if c.pred is None:
+                    c.pred = prev_est
+        seq.append((list(vector), len(seq)))
+        prune_chains(seq)
+
+    def size():
+        return sum(len(v) for v, _ in seq)
+
+    def sequence_ids():
+        it = estimate(seq[-1][0])
+        chain = []
+        while it is not None:
+            chain.append(it.eidx)
+            it = it.pred
+        return chain[::-1]
+
+    for i, f in ((0, 0.3), (1, 0.2), (2, 0.5)):
+        e[i] = mk(i, f, None)
+    update([e[0], e[1], e[2]])
+    assert size() == 3 and estimate(seq[-1][0]).eidx == 2
+
+    for i, f, p in ((3, 0.3, 1), (4, 0.2, 1), (5, 0.4, 2), (6, 0.1, 2)):
+        e[i] = mk(i, f, e[p])
+    update([e[3], e[4], e[5], e[6]])
+    assert size() == 6 and estimate(seq[-1][0]).eidx == 5
+    assert sequence_ids()[:-1] == [2]
+    assert sequence_ids() == [2, 5]
+
+    for i, f, p in ((7, 0.3, 5), (8, 0.2, 5), (9, 0.4, 6), (10, 0.1, 6)):
+        e[i] = mk(i, f, e[p])
+    update([e[7], e[8], e[9], e[10]])
+    assert size() == 7 and estimate(seq[-1][0]).eidx == 9
+    assert sequence_ids() == [2, 6, 9]
+
+    for i, f in ((11, 0.3), (12, 0.2), (13, 0.4), (14, 0.1)):
+        e[i] = mk(i, f, None)
+    update([e[11], e[12], e[13], e[14]])
+    assert size() == 7 and estimate(seq[-1][0]).eidx == 13
+    assert sequence_ids() == [2, 6, 9, 13]
+
+    update([])   # empty vector ignored (KState.java:178-180)
+    assert size() == 7 and estimate(seq[-1][0]).eidx == 13
