@@ -292,8 +292,14 @@ def intercept_segment(lat1, lon1, lat2, lon2, latc, lonc):
     s_ai, azi_ai, _ = inverse(lat1, lon1, late, lone)
     with np.errstate(divide="ignore", invalid="ignore"):
         frac = np.where(s_ab > 0, s_ai / np.where(s_ab == 0, 1, s_ab), 0.0)
-    # sign: negative when the interception lies behind a (Geography.java:44)
+    # sign: negative when the interception lies behind a
+    # (Geography.java:44). The bearing comparison must be CIRCULAR:
+    # a due-south geodesic reports +180 for a->b but can report
+    # -179.99... for a->i after the iteration's last femto-degree of
+    # longitude drift, and a plain |Δ| would flip the sign of an
+    # on-segment interception (found by the hypothesis property test).
     dazi = np.abs(azi_ai - azi_ab)
+    dazi = np.minimum(dazi, 360.0 - dazi)
     frac = np.where(dazi < 1, frac, -frac)
     frac = np.where((lat1 == lat2) & (lon1 == lon2), 0.0, frac)
     return frac
