@@ -114,3 +114,38 @@ def test_connected_components_star_equivalence(spark):
     assert lp_m == st_m
     # path is one component labeled by its min vertex
     assert st_m[len(src)] == 200
+
+
+def test_graph_construction_and_components_reference_goldens(spark):
+    """GraphTest.testConstruction/testComponents (topology/GraphTest.
+    java:32-141) verbatim: successor sets per edge and weakly-connected
+    edge components (dead ends, circle, self-loop, star, path) — on
+    both CC algorithms."""
+    import pandas as pd
+
+    cons = [(0, 0, 1), (1, 1, 0), (2, 1, 2), (3, 2, 1), (4, 3, 1),
+            (6, 4, 0), (7, 0, 4), (8, 0, 5)]
+    edges = spark.createDataFrame(pd.DataFrame(
+        cons, columns=["edge_id", "source", "target"]))
+    succ = graphx.successors(edges).toPandas().set_index("edge_id")
+    by_source = {0: {0, 7, 8}, 1: {1, 2}, 2: {3}, 3: {4}, 4: {6}, 5: set()}
+    tgt = dict((e, t) for e, _s, t in cons)
+    for e in tgt:
+        assert set(succ.loc[e, "successors"]) == by_source[tgt[e]], e
+
+    comp_edges = cons + [(9, 6, 7), (10, 7, 8), (11, 8, 9), (12, 9, 6),
+                         (13, 10, 10),
+                         (14, 11, 12), (15, 11, 13), (16, 11, 14),
+                         (17, 15, 16), (18, 16, 17), (19, 17, 18),
+                         (20, 18, 19), (21, 19, 20), (22, 20, 21),
+                         (23, 21, 22)]
+    want = [{0, 1, 2, 3, 4, 6, 7, 8}, {9, 10, 11, 12}, {13},
+            {14, 15, 16}, {17, 18, 19, 20, 21, 22, 23}]
+    cdf = spark.createDataFrame(pd.DataFrame(
+        comp_edges, columns=["edge_id", "source", "target"]))
+    for fn in (graphx.connected_components, graphx.connected_components_star):
+        out = fn(cdf).toPandas()
+        groups = {}
+        for e, c in zip(out["edge_id"], out["component"]):
+            groups.setdefault(c, set()).add(int(e))
+        assert sorted(map(sorted, groups.values())) == sorted(map(sorted, want)), fn
