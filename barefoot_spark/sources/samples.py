@@ -76,5 +76,11 @@ def parse_sample_json(df_json: pd.Series) -> pd.DataFrame:
         if isinstance(t, str):
             t = int(pd.Timestamp(t).timestamp() * 1000)
         recs.append((str(o["id"]), int(t), lat, lon,
-                     float(o.get("azimuth", np.nan))))
+                     normalize_azimuth(float(o.get("azimuth", np.nan)))))
     return pd.DataFrame(recs, columns=["trace_id", "time", "lat", "lon", "azimuth"])
+
+
+def normalize_azimuth(azi):
+    """Wrap heading to [0, 360) with positive modulo
+    (MatcherSample.java:104-107); NaN passes through (no heading)."""
+    return np.mod(np.mod(azi, 360.0) + 360.0, 360.0)

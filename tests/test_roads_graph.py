@@ -149,3 +149,19 @@ def test_graph_construction_and_components_reference_goldens(spark):
         for e, c in zip(out["edge_id"], out["component"]):
             groups.setdefault(c, set()).add(int(e))
         assert sorted(map(sorted, groups.values())) == sorted(map(sorted, want)), fn
+
+
+def test_azimuth_normalization_reference_goldens():
+    """MatcherSampleTest (matcher/MatcherSampleTest.java:25-57)
+    verbatim: heading wraps to [0, 360) with positive modulo."""
+    import numpy as np
+    cases = [(-0.1, 359.9), (-359.9, 0.1), (-360.1, 359.9), (360.0, 0.0),
+             (360.1, 0.1), (720.1, 0.1), (-719.9, 0.1), (-720.1, 359.9)]
+    for raw, want in cases:
+        got = float(SS.normalize_azimuth(raw))
+        assert abs(got - want) < 1e-10, (raw, got, want)
+    assert np.isnan(SS.normalize_azimuth(float("nan")))
+    # wire-format parse applies the wrap
+    out = SS.parse_sample_json(pd.Series(
+        ['{"id":"a","time":0,"point":"POINT(11 48)","azimuth":-0.1}']))
+    assert abs(out["azimuth"].iloc[0] - 359.9) < 1e-10
