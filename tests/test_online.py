@@ -171,3 +171,65 @@ def test_kstate_unbound_reference_goldens():
 
     update([])   # empty vector ignored (KState.java:178-180)
     assert size() == 7 and estimate(seq[-1][0]).eidx == 13
+
+
+def test_statememory_semantics_via_k0():
+    """StateTest.TestState (markov/StateTest.java:67-135): StateMemory
+    keeps only the latest vector — equivalent to our bounded state with
+    k=0 (sequence length 1 after pruning). Sizes and estimates
+    verbatim; the same element/prob script as TestKStateUnbound."""
+    import math
+    from barefoot_spark.operators.match import _Cand, estimate
+    from barefoot_spark.streaming.online import prune_chains
+
+    def mk(numid, filtprob, pred):
+        c = _Cand(numid, 0.0, 0.0, 0.0, 0.0)
+        c.filtprob = filtprob
+        c.seqprob = math.log10(filtprob)
+        c.pred = pred
+        return c
+
+    e, seq = {}, []
+
+    def update(vector):
+        if not vector:
+            return
+        if seq:
+            prev_est = estimate(seq[-1][0])
+            for c in vector:
+                if c.pred is None:
+                    c.pred = prev_est
+        seq.append((list(vector), len(seq)))
+        prune_chains(seq)
+        # k=0 bound: keep only the latest vector; new head loses preds
+        # (KState.java:218-228 truncation == StateMemory semantics)
+        while len(seq) > 1:
+            seq.pop(0)
+            for c in seq[0][0]:
+                c.pred = None
+
+    def size():
+        return sum(len(v) for v, _ in seq)
+
+    for i, f in ((0, 0.3), (1, 0.2), (2, 0.5)):
+        e[i] = mk(i, f, None)
+    update([e[0], e[1], e[2]])
+    assert size() == 3 and estimate(seq[-1][0]).eidx == 2
+
+    for i, f, p in ((3, 0.3, 1), (4, 0.2, 1), (5, 0.4, 2), (6, 0.1, 2)):
+        e[i] = mk(i, f, e[p])
+    update([e[3], e[4], e[5], e[6]])
+    assert size() == 4 and estimate(seq[-1][0]).eidx == 5
+
+    for i, f, p in ((7, 0.3, 5), (8, 0.2, 5), (9, 0.4, 6), (10, 0.1, 6)):
+        e[i] = mk(i, f, e[p])
+    update([e[7], e[8], e[9], e[10]])
+    assert size() == 4 and estimate(seq[-1][0]).eidx == 9
+
+    for i, f in ((11, 0.3), (12, 0.2), (13, 0.4), (14, 0.1)):
+        e[i] = mk(i, f, None)
+    update([e[11], e[12], e[13], e[14]])
+    assert size() == 4 and estimate(seq[-1][0]).eidx == 13
+
+    update([])
+    assert size() == 4 and estimate(seq[-1][0]).eidx == 13
