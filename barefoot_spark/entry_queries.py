@@ -427,7 +427,7 @@ def q_point_in_polygon(spark, sf_dir):
     pts = _points(spark, sf_dir).selectExpr("point_id", "py AS lat", "px AS lon")
     ring = np.array(POLY_RING)
     bc = spark.sparkContext.broadcast([("poly1", [ring])])
-    return J.point_in_polygon(pts, bc).orderBy("point_id")
+    return J.point_in_polygon(pts, bc)
 
 
 def oracle_point_in_polygon(sf_dir):
@@ -546,7 +546,15 @@ def oracle_top_customers(sf_dir):
 def q_event_sessions(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts_us")
-    out = (ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    # Parquet `timestamp[us]` (no tz) reads as TIMESTAMP_NTZ; a plain
+    # CAST(ts AS TIMESTAMP) would shift by the *driver's* session timezone.
+    # timestampdiff on NTZ is pure calendar arithmetic — tz-independent and
+    # identical to DuckDB's epoch_us() on its naive TIMESTAMP.
+    out = (ev.withColumn(
+               "ts_us",
+               F.expr("timestampdiff(MICROSECOND, "
+                      "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                      "CAST(ts AS TIMESTAMP_NTZ))"))
            .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
            .withColumn("new_session",
                        F.when(F.col("gap_us").isNull()
@@ -567,8 +575,8 @@ def oracle_event_sessions(sf_dir):
             FROM events
         )
         SELECT user_id,
-               sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
-                        THEN 1 ELSE 0 END) AS sessions,
+               CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
                count(*) AS events
         FROM g GROUP BY user_id
     """

@@ -211,18 +211,16 @@ def distance(lat1, lon1, lat2, lon2):
     (<= 8 elements, all-scalar broadcast inputs) take the scalar fast
     path; everything else runs the vectorized kernel."""
     a1 = np.asarray(lat1, dtype=np.float64)
-    if a1.ndim <= 1:
-        o1 = np.asarray(lon1, dtype=np.float64)
-        a2 = np.asarray(lat2, dtype=np.float64)
-        o2 = np.asarray(lon2, dtype=np.float64)
+    o1 = np.asarray(lon1, dtype=np.float64)
+    a2 = np.asarray(lat2, dtype=np.float64)
+    o2 = np.asarray(lon2, dtype=np.float64)
+    if max(a1.ndim, o1.ndim, a2.ndim, o2.ndim) <= 1:
         n = max(a1.size, o1.size, a2.size, o2.size)
         if n <= 8 and min(a1.size, o1.size, a2.size, o2.size) in (1, n):
             b = np.broadcast(a1, o1, a2, o2)
             out = np.array([_inverse_scalar_s12(w, x, y, z)
                             for w, x, y, z in b])
-            if a1.ndim == 0 and o1.ndim == 0 and a2.ndim == 0 and o2.ndim == 0:
-                return out.reshape(())
-            return out
+            return out.reshape(b.shape)
     return inverse(lat1, lon1, lat2, lon2)[0]
 
 

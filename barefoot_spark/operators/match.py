@@ -156,6 +156,153 @@ def route_ssmt(idx: RoadIndex, src, targets, cost_vec, bound_vec=None, bound_max
     return paths
 
 
+_TREE_CACHE_MAX = 4096
+
+
+class _EdgeTree:
+    """Lazily-extended Dijkstra pop sequence from edge ``se`` with
+    relative costs (startcost = startbound = 0).
+
+    Every query from ``(se, sf)`` shifts all edge-mark costs by the same
+    constant K1 = cost_vec[se]*(1-sf) and all bounds by
+    K2 = bound_vec[se]*(1-sf), so the pop ORDER and the first-discovery
+    predecessor tree are invariant to the source fraction: one tree
+    answers route_ssmt for every fraction and every bound threshold
+    (``route_ssmt_cached`` replays the recorded pops and merges
+    synthesized reach marks in cost order, preserving
+    Dijkstra.java:205-208 bound-break semantics). The tree extends only
+    as far as the deepest query needs — never past what the uncached
+    search would have explored for the same queries."""
+
+    __slots__ = ("idx", "cost_vec", "bound_vec", "entries", "heap",
+                 "pops", "ctr")
+
+    def __init__(self, idx, se, cost_vec, bound_vec):
+        self.idx = idx
+        self.cost_vec = cost_vec
+        self.bound_vec = bound_vec
+        self.entries = {int(se): (0.0, 0.0, -1)}  # edge -> (cost, bnd, pred)
+        self.heap = [(0.0, 0, int(se))]
+        self.pops = []                            # (rel_cost, rel_bnd, edge)
+        self.ctr = 1
+
+    def extend(self, i):
+        """Ensure pops[i] exists, or the heap is exhausted."""
+        cost_vec, bound_vec = self.cost_vec, self.bound_vec
+        succ_lists = self.idx.succ_lists()
+        entries, heap, pops = self.entries, self.heap, self.pops
+        push = heapq.heappush
+        while len(pops) <= i and heap:
+            cost, _, edge = heapq.heappop(heap)
+            bnd = entries[edge][1]
+            pops.append((cost, bnd, edge))
+            for succ in succ_lists[edge]:
+                if succ not in entries:
+                    sc = cost + cost_vec[succ]
+                    sb = bnd + bound_vec[succ]
+                    entries[succ] = (sc, sb, edge)
+                    push(heap, (sc, self.ctr, succ))
+                    self.ctr += 1
+
+
+def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
+                      bound_max, cache: dict):
+    """route_ssmt with a shared per-source-edge tree cache (SURVEY §7's
+    route-cache plan). Exact same results as route_ssmt — the replay
+    walks the recorded pop sequence in cost order, synthesizing reach
+    marks from expanded predecessors exactly where the uncached search
+    would push them, and applies the same bound-break rule (ties between
+    equal-cost reach and edge marks resolve reach-first, matching the
+    push-order ctr for the tf==1 case; other exact-float ties are
+    JVM-HashSet-grade nondeterminism in the reference too)."""
+    se, sf = src
+    se = int(se)
+    tree = cache.get(se)
+    if tree is None:
+        if len(cache) >= _TREE_CACHE_MAX:
+            cache.clear()
+        tree = cache[se] = _EdgeTree(idx, se, cost_vec, bound_vec)
+    K1 = cost_vec[se] * (1.0 - sf)
+    K2 = bound_vec[se] * (1.0 - sf)
+
+    target_by_edge: dict[int, list] = {}
+    for pos, (te, tf) in enumerate(targets):
+        target_by_edge.setdefault(int(te), []).append((pos, float(tf)))
+
+    revents: list = []   # (abs_cost, ctr, pos, edge, pred, abs_bnd)
+    rctr = 0
+    if se in target_by_edge:
+        for pos, tf in target_by_edge[se]:
+            if tf < sf:
+                continue
+            rc = K1 - cost_vec[se] * (1.0 - tf)
+            # startcost-in-bound quirk preserved from route_ssmt
+            rb = K1 - bound_vec[se] * (1.0 - tf)
+            heapq.heappush(revents, (rc, rctr, pos, se, -1, rb))
+            rctr += 1
+
+    # invert the target set once: reach marks for target te are pushed
+    # exactly when a predecessor of te expands, so keying by pred makes
+    # the replay one dict lookup per pop (vs scanning successors)
+    idx_pred = idx.pred_lists()
+    reach_by_pred: dict[int, list] = {}
+    for te, lst in target_by_edge.items():
+        for p in idx_pred[te]:
+            reach_by_pred.setdefault(p, []).extend(
+                (pos, te, tf) for pos, tf in lst)
+
+    finish: dict[int, tuple] = {}
+    pending = set(range(len(targets)))
+    pops = tree.pops
+    push = heapq.heappush
+    i = 0
+    while pending:
+        if i >= len(pops):
+            tree.extend(i)
+        has_pop = i < len(pops)
+        pop_cost = pops[i][0] + K1 if has_pop else None
+        if revents and (not has_pop or revents[0][0] <= pop_cost):
+            rc, _, pos, te, pred, rb = heapq.heappop(revents)
+            if rb > bound_max:
+                break
+            if pos in finish or pos not in pending:
+                continue
+            finish[pos] = (te, pred)
+            pending.discard(pos)
+            continue
+        if not has_pop:
+            break
+        rel_cost, rel_bnd, edge = pops[i]
+        i += 1
+        if K2 + rel_bnd > bound_max:
+            break
+        hits = reach_by_pred.get(edge)
+        if hits is not None:
+            base_c = K1 + rel_cost
+            base_b = K2 + rel_bnd
+            for tpos, te, tf in hits:
+                # == (base_c + cost[te]) - cost[te]*(1-tf), as route_ssmt
+                push(revents, (base_c + cost_vec[te] * tf, rctr, tpos,
+                               te, edge, base_b + bound_vec[te] * tf))
+                rctr += 1
+
+    entries = tree.entries
+    paths: dict[int, list | None] = {}
+    for pos in range(len(targets)):
+        f = finish.get(pos)
+        if f is None:
+            paths[pos] = None
+            continue
+        edge, pred = f
+        path = [edge]
+        it = pred
+        while it != -1:
+            path.append(it)
+            it = entries[it][2]
+        paths[pos] = path[::-1]
+    return paths
+
+
 def path_cost(idx: RoadIndex, path, sf, tf, cost_vec):
     """Route cost with linear fractional endpoints (Path.cost,
     topology/Path.java:127-137)."""
@@ -305,23 +452,29 @@ def hmm_forward_arrays(filt_prev, seq_prev, trans, emission):
         trans = np.asarray(trans, dtype=np.float64).reshape(P, C)
         ok = trans > 0
         filt_col = (trans * filt_prev[:, None]).sum(axis=0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            log_t = np.where(ok, np.log10(np.where(ok, trans, 1.0)), -np.inf)
-            log_e = np.where(emission > 0, np.log10(
-                np.where(emission > 0, emission, 1.0)), -np.inf)
+        # masked log10 (where=) computes only the positive entries — no
+        # errstate needed, identical values to the np.where formulation
+        log_t = np.full((P, C), -np.inf)
+        np.log10(trans, out=log_t, where=ok)
+        log_e = np.full(C, -np.inf)
+        np.log10(emission, out=log_e, where=emission > 0)
         seq_mat = seq_prev[:, None] + log_t + log_e[None, :]
         best = np.argmax(seq_mat, axis=0)
         keep = ok.any(axis=0) & (filt_col > 0)
         filtprob = np.where(keep, filt_col * emission, 0.0)
         seqprob = np.where(keep, seq_mat[best, np.arange(C)], -np.inf)
-        pred = np.where(keep, best, -1)
+        # A kept candidate whose whole seq column is -inf (emission
+        # underflow, or all predecessor seqprobs -inf) has no real argmax;
+        # Filter.java's strict 'seqprob >' comparison leaves its
+        # predecessor null — mirror that with pred = -1 so no bogus
+        # routes[0][ci] gets attached downstream.
+        pred = np.where(keep & np.isfinite(seqprob), best, -1)
     normsum = filtprob[keep].sum()
     if not keep.any() or P == 0 or normsum == 0.0:
         keep = emission > 0
         filtprob = np.where(keep, emission, 0.0)
-        with np.errstate(divide="ignore"):
-            seqprob = np.where(keep, np.log10(np.where(keep, emission, 1.0)),
-                               -np.inf)
+        seqprob = np.full(C, -np.inf)
+        np.log10(emission, out=seqprob, where=keep)
         pred = np.full(C, -1, dtype=np.int64)
         normsum = filtprob[keep].sum()
     if normsum > 0:
@@ -331,7 +484,7 @@ def hmm_forward_arrays(filt_prev, seq_prev, trans, emission):
 
 def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
                  prev_time, t_ms: int, lat: float, lon: float, azi: float,
-                 precomputed=None):
+                 precomputed=None, route_cache: dict | None = None):
     """One HMM filter step (Filter.execute semantics,
     markov/Filter.java:114-244): candidate search + Minset + predecessor
     carry-over + emissions, per-predecessor bounded routing, forward
@@ -417,9 +570,23 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
         trans = np.zeros((len(prev_vector), len(cands)))
         routes: list[list] = [[None] * len(cands) for _ in prev_vector]
         rlens = np.zeros((len(prev_vector), len(cands)))
+        # python-list cost views: the per-pair path walks below are ~5x
+        # faster on float lists than numpy scalar indexing; identical
+        # IEEE arithmetic either way
+        tp_list = idx.cost_list("timeprio")
+        bound_list = idx.cost_list("distance")
+        cost_rt_list = idx.cost_list(params.routing_cost)
+        pend_pi: list[int] = []
+        pend_ci: list[int] = []
+        pend_cost: list[float] = []
         for pi, p in enumerate(prev_vector):
-            paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
-                               bound_vec, bound)
+            if route_cache is not None:
+                paths = route_ssmt_cached(idx, (p.eidx, p.frac), targets,
+                                          cost_rt_list, bound_list, bound,
+                                          route_cache)
+            else:
+                paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
+                                   bound_vec, bound)
             for ci, c in enumerate(cands):
                 path = paths[ci]
                 if path is None:
@@ -439,10 +606,15 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
                         else:
                             sf = max(0.0, 1.0 - sf - 5.0 / idx.edge_len[path[1]])
                             path = path[1:]
-                cost_tp = path_cost(idx, path, sf, tf, tp_vec)
-                trans[pi, ci] = (1.0 / beta) * np.exp(-cost_tp / beta)
+                pend_pi.append(pi)
+                pend_ci.append(ci)
+                pend_cost.append(path_cost(idx, path, sf, tf, tp_list))
                 routes[pi][ci] = path
-                rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_vec)
+                rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_list)
+        if pend_pi:
+            # one vectorized exp instead of a scalar np.exp per pair
+            trans[pend_pi, pend_ci] = (1.0 / beta) * np.exp(
+                -np.asarray(pend_cost) / beta)
 
         # pure forward recurrence over the whole (P x C) matrix
         # (hmm_forward_arrays — tested against the reference's
@@ -498,8 +670,12 @@ def estimate(vector):
 
 
 def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
-                azimuths, params: MatcherParams) -> list[tuple]:
-    """Offline match of one trace; returns MATCH_SCHEMA rows."""
+                azimuths, params: MatcherParams,
+                route_cache: dict | None = None) -> list[tuple]:
+    """Offline match of one trace; returns MATCH_SCHEMA rows.
+    route_cache: shared per-source-edge Dijkstra tree cache (see
+    route_ssmt_cached) — safe to share across traces on the same map
+    with the same cost function."""
     order = np.argsort(times_ms, kind="stable")
     sample_ids = np.asarray(sample_ids)[order]
     times_ms = np.asarray(times_ms, dtype=np.int64)[order]
@@ -544,7 +720,8 @@ def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
         result = forward_step(idx, params, prev_vector, prev_time,
                               int(k_t[step]), float(k_lat[step]),
                               float(k_lon[step]), float(k_azi[step]),
-                              precomputed=cand_sets[step])
+                              precomputed=cand_sets[step],
+                              route_cache=route_cache)
         if result:
             sequence.append((result, step))
             prev_vector = result
@@ -603,12 +780,14 @@ def match_traces(samples: DataFrame, idx_bc, params: MatcherParams | None = None
             return
         pdf = pd.concat(chunks, ignore_index=True)
         rows = []
+        route_cache: dict = {}   # shared across the partition's traces
         for tid, g in pdf.groupby("trace_id", sort=False):
             rows.extend(match_trace(
                 idx, tid, g["sample_id"].to_numpy(),
                 g["time"].to_numpy(np.int64),
                 g["lat"].to_numpy(np.float64), g["lon"].to_numpy(np.float64),
-                g["azimuth"].to_numpy(np.float64), params))
+                g["azimuth"].to_numpy(np.float64), params,
+                route_cache=route_cache))
         yield pd.DataFrame(rows, columns=[f.name for f in MATCH_SCHEMA.fields])
 
     parts = [num_partitions] if num_partitions else []

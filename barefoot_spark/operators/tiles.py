@@ -51,7 +51,11 @@ def cell_expr(lat: Column, lon: Column, res: int) -> Column:
 
 
 def cell_expr_sql(lat_col: str, lon_col: str, res: int) -> str:
-    """The DuckDB-oracle twin of cell_expr (same doubles, same integers)."""
+    """The DuckDB-oracle twin of cell_expr (same doubles, same integers).
+    Same res <= 15 bound as cell_expr — res 16 would overflow the int64
+    sign bit in the packing either side of the comparison."""
+    if res > 15:
+        raise ValueError(f"cell_expr_sql requires res <= 15, got {res}")
     edge = cells.res_edge_deg(res)
     nx = int(round(360.0 / edge))
     ny = int(round(180.0 / edge))

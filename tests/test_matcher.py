@@ -458,3 +458,54 @@ def test_minset_reference_goldens():
     m2 = RoadIndex(R.roads_pdf_from_entries(
         [(g, s, t, o, w) for g, s, t, o, w in R.MICRO7[:6]]), res=15)
     assert run(m2, [(0, 1), (1, 0), (2, 0), (3, 1), (6, 0), (8, 0)]) == {0, 3}
+
+
+def test_route_cache_equivalence_random():
+    """route_ssmt_cached must return byte-identical paths to route_ssmt
+    for many queries sharing one tree cache — random sources, fractions,
+    target sets and bounds over the seeded grid (the cache replay
+    preserves reach ordering and the Dijkstra.java:205-208 bound break)."""
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+
+    idx = RoadIndex(R.grid_pdf(10, seed=7), res=15)
+    rng = np.random.default_rng(123)
+    n = len(idx.edge_id)
+    cost = idx.cost_vector("time")
+    bvec = idx.cost_dist
+    cache: dict = {}
+    n_q = 0
+    for _ in range(300):
+        se = int(rng.integers(0, n))
+        sf = float(rng.uniform())
+        k = int(rng.integers(1, 8))
+        targets = [(int(rng.integers(0, n)), float(rng.uniform()))
+                   for _ in range(k)]
+        # include same-edge targets on both sides of sf sometimes
+        if rng.uniform() < 0.5:
+            targets.append((se, float(rng.uniform())))
+        bound = float(rng.choice([300.0, 1000.0, 3000.0, 1e9]))
+        want = M.route_ssmt(idx, (se, sf), targets, cost, bvec, bound)
+        got = M.route_ssmt_cached(idx, (se, sf), targets, cost, bvec,
+                                  bound, cache)
+        assert got == want, (se, sf, targets, bound)
+        n_q += 1
+    assert n_q == 300 and len(cache) > 0
+
+
+def test_match_trace_route_cache_equivalence():
+    """match_trace with a shared route cache emits exactly the rows the
+    uncached path emits (same estimates, same routes, same probs)."""
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.sources import samples as SS
+
+    idx = RoadIndex(R.grid_pdf(12, seed=42), res=16)
+    pdf = SS.synth_traces(idx, n_traces=8, samples_per_trace=40, seed=9)
+    cache: dict = {}
+    for tid, g in pdf.groupby("trace_id"):
+        args = (idx, tid, g["sample_id"].to_numpy(),
+                g["time"].to_numpy(np.int64),
+                g["lat"].to_numpy(np.float64), g["lon"].to_numpy(np.float64),
+                g["azimuth"].to_numpy(np.float64), M.MatcherParams())
+        assert M.match_trace(*args, route_cache=cache) == M.match_trace(*args)
