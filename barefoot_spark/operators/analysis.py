@@ -21,13 +21,40 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .. import cells, geo
 
 
-def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
-             value_col="value", id_col="id") -> DataFrame:
-    """1-D density clustering: maximal runs of sorted values where each
-    gap <= eps; clusters need >= min_pts members (DBCAN semantics:
-    epsilon-neighborhood density over ordered doubles). Returns
-    (id, value, cluster_id) with cluster_id = min id in cluster, or
-    NULL for noise. Window functions only — no UDF."""
+def _bucket_boundaries(values: DataFrame, value_col: str, eps: float,
+                       n_buckets: int) -> list[float]:
+    """Range-partition boundaries from approximate quantiles, thinned so
+    consecutive boundaries are >= 2*eps apart (then any eps-neighborhood
+    spans at most two adjacent buckets, which is what the ghost-row
+    replication in dbcan_1d_core relies on). Driver-side B scalars —
+    bucket METADATA, not row data."""
+    if n_buckets <= 1:
+        return []
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cand = values.approxQuantile(value_col, qs, 0.001)
+    out: list[float] = []
+    for b in cand:
+        if not out or float(b) - out[-1] >= 2 * eps:
+            out.append(float(b))
+    return out
+
+
+def _bucket_expr(value_col: str, bounds: list[float]):
+    """bucket k = number of boundaries <= value (0..B). Higher-order
+    function — runs JVM-side, O(B) per row."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= F.col(value_col)))
+
+
+def _default_buckets(values: DataFrame) -> int:
+    return max(2, values.sparkSession.sparkContext.defaultParallelism)
+
+
+def dbcan_1d_global(values: DataFrame, eps: float, min_pts: int,
+                    value_col="value", id_col="id") -> DataFrame:
+    """Single-window 1-D gap clustering — the oracle-shaped reference
+    path. One global ORDER BY == one task: use dbcan_1d (bucketed +
+    stitched, same results) for anything beyond small data."""
     w = Window.orderBy(value_col, id_col)
     gapped = values.select(
         F.col(id_col), F.col(value_col),
@@ -38,6 +65,78 @@ def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
     grp = grp.withColumn("cluster_seq", F.sum("new_cluster").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
     counts = Window.partitionBy("cluster_seq")
+    return (grp
+            .withColumn("cluster_size", F.count("*").over(counts))
+            .withColumn("cluster_id",
+                        F.when(F.col("cluster_size") >= min_pts,
+                               F.min(id_col).over(counts)))
+            .select(id_col, value_col, "cluster_id"))
+
+
+def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
+             value_col="value", id_col="id",
+             n_buckets: int | None = None) -> DataFrame:
+    """1-D density clustering: maximal runs of sorted values where each
+    gap <= eps; clusters need >= min_pts members (DBCAN semantics:
+    epsilon-neighborhood density over ordered doubles). Returns
+    (id, value, cluster_id) with cluster_id = min id in cluster, or
+    NULL for noise.
+
+    Scale shape: values are range-partitioned into quantile buckets and
+    clustered with PARTITIONED windows (no single-task global sort);
+    clusters cut by a bucket boundary are re-merged by stitching bucket
+    summaries (B rows collected to the driver — metadata, not row data:
+    a cross-boundary merge happens iff the boundary gap <= eps, exactly
+    the global rule, so results are identical to dbcan_1d_global —
+    proven by tests/test_analysis.py boundary-straddling cases)."""
+    if n_buckets is None:
+        n_buckets = _default_buckets(values)
+    bounds = _bucket_boundaries(values, value_col, eps, n_buckets)
+    if not bounds:
+        return dbcan_1d_global(values, eps, min_pts, value_col, id_col)
+    spark = values.sparkSession
+
+    df = values.select(id_col, value_col).withColumn(
+        "_bkt", _bucket_expr(value_col, bounds))
+    w = Window.partitionBy("_bkt").orderBy(value_col, id_col)
+    grp = (df.withColumn("gap",
+                         F.col(value_col) - F.lag(value_col).over(w))
+           .withColumn("new_cluster",
+                       F.when(F.col("gap").isNull() | (F.col("gap") > eps),
+                              1).otherwise(0))
+           .withColumn("cluster_seq", F.sum("new_cluster").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .persist())
+
+    summ = grp.groupBy("_bkt").agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
+        F.max("cluster_seq").alias("nseq")).collect()
+
+    # driver stitch over B bucket summaries: walk buckets in value
+    # order; the last local cluster of the previous non-empty bucket
+    # merges with the first local cluster of the next iff the boundary
+    # gap <= eps. Chains propagate through single-cluster buckets.
+    merge: dict[tuple, tuple] = {}   # (bkt, seq) -> root (bkt, seq)
+    prev = None                      # (bkt, hi, nseq)
+    for r in sorted(summ, key=lambda r: r["_bkt"]):
+        if prev is not None and r["lo"] - prev[1] <= eps:
+            pkey = (prev[0], prev[2])
+            merge[(r["_bkt"], 1)] = merge.get(pkey, pkey)
+        prev = (r["_bkt"], r["hi"], r["nseq"])
+
+    if merge:
+        mrows = [(int(b), int(s), int(rb), int(rs))
+                 for (b, s), (rb, rs) in merge.items()]
+        mdf = spark.createDataFrame(
+            mrows, "_bkt INT, cluster_seq BIGINT, _rb INT, _rs BIGINT")
+        grp = grp.join(F.broadcast(mdf), ["_bkt", "cluster_seq"], "left")
+    else:
+        grp = grp.withColumn("_rb", F.lit(None).cast("int")) \
+                 .withColumn("_rs", F.lit(None).cast("bigint"))
+    grp = (grp.withColumn("_gb", F.coalesce("_rb", "_bkt"))
+           .withColumn("_gs", F.coalesce("_rs", "cluster_seq")))
+
+    counts = Window.partitionBy("_gb", "_gs")
     return (grp
             .withColumn("cluster_size", F.count("*").over(counts))
             .withColumn("cluster_id",
@@ -166,7 +265,8 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
 
 
 def dbcan_1d_core(values: DataFrame, eps: float, min_pts: int,
-                  value_col="value", id_col="id") -> DataFrame:
+                  value_col="value", id_col="id",
+                  n_buckets: int | None = None) -> DataFrame:
     """Exact-DBSCAN 1-D clustering (the reference's DBCAN semantics,
     analysis/DBCAN.java:48-100): an element is *core* iff >= min_pts
     elements (incl. itself, with multiplicity) lie within [v-eps, v+eps];
@@ -174,6 +274,155 @@ def dbcan_1d_core(values: DataFrame, eps: float, min_pts: int,
     gap <= eps; non-core elements within eps of a core join the cluster
     of the nearest core (tie -> the lower/left core — a deterministic
     rule replacing Java's HashSet iteration order). Noise -> NULL.
+
+    Scale shape: quantile range-buckets (boundaries >= 2*eps apart) +
+    PARTITIONED windows. Rows within eps of a boundary are replicated
+    into the adjacent bucket ("ghosts") so the eps-range neighbor count
+    and the nearest-core border attachment see exactly the global
+    neighborhood; core chains cut by a boundary are re-merged by
+    stitching B bucket summaries on the driver (metadata, not row
+    data). Identical results to dbcan_1d_core_global — proven by
+    boundary-straddling equality tests."""
+    if n_buckets is None:
+        n_buckets = _default_buckets(values)
+    bounds = _bucket_boundaries(values, value_col, eps, n_buckets)
+    if not bounds:
+        return dbcan_1d_core_global(values, eps, min_pts, value_col, id_col)
+    return _dbcan_1d_core_bucketed(values, eps, min_pts, value_col, id_col,
+                                   bounds)
+
+
+def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
+                            value_col: str, id_col: str,
+                            bounds: list[float]) -> DataFrame:
+    spark = values.sparkSession
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    nb = len(bounds)
+
+    base = values.select(id_col, value_col).withColumn(
+        "_bkt", _bucket_expr(value_col, bounds))
+
+    # ghost replication: a row within eps of its bucket's lower/upper
+    # boundary is visible to the adjacent bucket's eps-range windows.
+    # Boundaries are >= 2*eps apart, so one hop suffices.
+    low_b = F.element_at(arr, F.col("_bkt"))          # defined for _bkt>=1
+    high_b = F.element_at(arr, F.col("_bkt") + 1)     # defined for _bkt<nb
+    ghost_down = (F.col("_bkt") >= 1) & \
+        (F.col(value_col) - low_b <= eps)
+    ghost_up = (F.col("_bkt") <= nb - 1) & \
+        (high_b - F.col(value_col) <= eps)
+
+    def with_ghosts(df):
+        home = df.withColumn("_ghost", F.lit(False))
+        down = (df.filter(ghost_down)
+                .withColumn("_bkt", F.col("_bkt") - 1)
+                .withColumn("_ghost", F.lit(True)))
+        up = (df.filter(ghost_up)
+              .withColumn("_bkt", F.col("_bkt") + 1)
+              .withColumn("_ghost", F.lit(True)))
+        return home.unionByName(down).unionByName(up)
+
+    # phase A: exact core flags for home rows (ghosts complete the
+    # eps-neighborhood counts at bucket edges)
+    d = (with_ghosts(base)
+         .withColumn("n_eps", F.expr(
+             f"count(*) OVER (PARTITION BY _bkt ORDER BY {value_col} "
+             f"RANGE BETWEEN {eps!r} PRECEDING AND {eps!r} FOLLOWING)"))
+         .filter(~F.col("_ghost"))
+         .withColumn("is_core", F.col("n_eps") >= min_pts)
+         .drop("n_eps", "_ghost"))
+
+    # phase B1: per-bucket core-chain segmentation over home rows
+    wo = Window.partitionBy("_bkt").orderBy(value_col, id_col)
+    core_val = F.when(F.col("is_core"), F.col(value_col))
+    seg = (d.withColumn("prev_core", F.last(core_val, ignorenulls=True).over(
+               wo.rowsBetween(Window.unboundedPreceding, -1)))
+           .withColumn("core_break",
+                       F.when(F.col("is_core") &
+                              (F.col("prev_core").isNull() |
+                               (F.col(value_col) - F.col("prev_core") > eps)),
+                              1).otherwise(0))
+           .withColumn("core_seq", F.sum("core_break").over(
+               wo.rowsBetween(Window.unboundedPreceding, 0)))
+           .persist())
+
+    summ = seg.groupBy("_bkt").agg(
+        F.min(core_val).alias("fc"), F.max(core_val).alias("lc"),
+        F.max(F.when(F.col("is_core"), F.col("core_seq"))).alias("ls")
+    ).collect()
+
+    # driver stitch: first local core chain of a bucket joins the last
+    # core chain of the previous core-bearing bucket iff the core gap
+    # <= eps (chains propagate through single-chain buckets)
+    merge: dict[tuple, tuple] = {}
+    prev = None   # (bkt, last_core_val, last_seq)
+    for r in sorted(summ, key=lambda r: r["_bkt"]):
+        if r["fc"] is None:
+            continue
+        if prev is not None and r["fc"] - prev[1] <= eps:
+            pkey = (prev[0], prev[2])
+            merge[(r["_bkt"], 1)] = merge.get(pkey, pkey)
+        prev = (r["_bkt"], r["lc"], r["ls"])
+
+    # phase B2: border attachment — nearest core within eps on either
+    # side (ghost cores carry their HOME chain key across boundaries)
+    segk = (seg.withColumn("_ck_b", F.when(F.col("is_core"), F.col("_bkt")))
+            .withColumn("_ck_s", F.when(F.col("is_core"), F.col("core_seq"))))
+    att = with_ghosts(segk.select(id_col, value_col, "_bkt", "is_core",
+                                  "_ck_b", "_ck_s"))
+    wo2 = Window.partitionBy("_bkt").orderBy(value_col, id_col)
+    prevf = wo2.rowsBetween(Window.unboundedPreceding, -1)
+    nextf = wo2.rowsBetween(1, Window.unboundedFollowing)
+    cval = F.when(F.col("is_core"), F.col(value_col))
+    att = (att
+           .withColumn("lc_val", F.last(cval, ignorenulls=True).over(prevf))
+           .withColumn("lc_b", F.last(F.when(F.col("is_core"), F.col("_ck_b")),
+                                      ignorenulls=True).over(prevf))
+           .withColumn("lc_s", F.last(F.when(F.col("is_core"), F.col("_ck_s")),
+                                      ignorenulls=True).over(prevf))
+           .withColumn("rc_val", F.first(cval, ignorenulls=True).over(nextf))
+           .withColumn("rc_b", F.first(F.when(F.col("is_core"), F.col("_ck_b")),
+                                       ignorenulls=True).over(nextf))
+           .withColumn("rc_s", F.first(F.when(F.col("is_core"), F.col("_ck_s")),
+                                       ignorenulls=True).over(nextf))
+           .filter(~F.col("_ghost")))
+    ld = F.col(value_col) - F.col("lc_val")
+    rd = F.col("rc_val") - F.col(value_col)
+    take_left = (ld <= eps) & ((rd > eps) | F.col("rc_val").isNull()
+                               | (ld <= rd))
+    out = att.select(
+        id_col, value_col, "is_core",
+        F.when(F.col("is_core"), F.col("_ck_b"))
+         .when(take_left, F.col("lc_b"))
+         .when(rd <= eps, F.col("rc_b")).alias("kb"),
+        F.when(F.col("is_core"), F.col("_ck_s"))
+         .when(take_left, F.col("lc_s"))
+         .when(rd <= eps, F.col("rc_s")).alias("ks"))
+
+    # remap stitched chain keys, then label = min id among the chain's
+    # core members (partitioned agg join — no global window)
+    if merge:
+        mrows = [(int(b), int(s), int(rb), int(rs))
+                 for (b, s), (rb, rs) in merge.items()]
+        mdf = spark.createDataFrame(
+            mrows, "kb INT, ks BIGINT, _rb INT, _rs BIGINT")
+        out = out.join(F.broadcast(mdf), ["kb", "ks"], "left")
+    else:
+        out = out.withColumn("_rb", F.lit(None).cast("int")) \
+                 .withColumn("_rs", F.lit(None).cast("bigint"))
+    out = (out.withColumn("_gb", F.coalesce("_rb", "kb"))
+           .withColumn("_gs", F.coalesce("_rs", "ks")))
+    lbl = (out.filter("is_core").groupBy("_gb", "_gs")
+           .agg(F.min(id_col).alias("cluster_id")))
+    return (out.join(lbl, ["_gb", "_gs"], "left")
+            .select(id_col, value_col, "cluster_id"))
+
+
+def dbcan_1d_core_global(values: DataFrame, eps: float, min_pts: int,
+                         value_col="value", id_col="id") -> DataFrame:
+    """Single-window exact-DBSCAN 1-D clustering — the oracle-shaped
+    reference path (global ORDER BY == one task; use dbcan_1d_core for
+    real data).
 
     Pure window functions (RANGE frames), no UDF — so it has an exact
     DuckDB oracle twin (dbcan_1d_core_oracle_sql).
@@ -452,26 +701,52 @@ def dbrcan_function_df(values: DataFrame, modulo: float, eps: float,
 
 
 def dbrcan_mod(values: DataFrame, modulus: float, eps: float, min_pts: int,
-               value_col="value", id_col="id") -> DataFrame:
+               value_col="value", id_col="id",
+               n_buckets: int | None = None) -> DataFrame:
     """Modular 1-D clustering (DBRCAN): residues on a ring of given
     modulus; clusters may wrap. Implemented with the rotate-at-largest-
     gap trick (SURVEY.md §2.6): shift all residues so the largest gap
     sits at the ring cut, then ordinary 1-D gap clustering; cluster ids
-    reported as min original id."""
-    w = Window.orderBy("residue", id_col)
+    reported as min original id.
+
+    Scale shape: the cut search runs on PARTITIONED windows (per-bucket
+    max gap) and ONE B-row summary collect combines in-bucket, boundary
+    and wrap gaps on the driver; the clustering itself is the bucketed
+    dbcan_1d."""
     resid = values.select(
         F.col(id_col), F.col(value_col),
         F.pmod(F.col(value_col), F.lit(modulus)).alias("residue"))
-    gaps = resid.select(
-        "residue",
-        (F.col("residue") - F.lag("residue").over(w)).alias("gap"))
-    # wrap-around gap = first + modulus - last
-    agg = resid.agg(F.min("residue").alias("lo"), F.max("residue").alias("hi")).collect()[0]
-    wrap_gap = agg["lo"] + modulus - agg["hi"]
-    max_gap_row = (gaps.filter(F.col("gap").isNotNull())
-                   .orderBy(F.desc("gap"), "residue").limit(1).collect())
-    cut = agg["lo"] if (not max_gap_row or wrap_gap >= max_gap_row[0]["gap"]) \
-        else max_gap_row[0]["residue"]
+    if n_buckets is None:
+        n_buckets = _default_buckets(values)
+    bounds = _bucket_boundaries(resid, "residue", eps, n_buckets)
+    bkt = _bucket_expr("residue", bounds) if bounds else F.lit(0)
+    rb = resid.withColumn("_bkt", bkt)
+    w = Window.partitionBy("_bkt").orderBy("residue", id_col)
+    gaps = rb.withColumn("gap", F.col("residue") - F.lag("residue").over(w))
+    summ = gaps.groupBy("_bkt").agg(
+        F.min("residue").alias("lo"), F.max("residue").alias("hi"),
+        F.max(F.when(F.col("gap").isNotNull(),
+                     F.struct(F.col("gap").alias("g"),
+                              (-F.col("residue")).alias("nr")))).alias("mx")
+    ).collect()
+
+    summ = sorted(summ, key=lambda r: r["_bkt"])
+    best = None          # (gap, right-endpoint residue); tie -> smaller residue
+    prev_hi = None
+    for r in summ:
+        if prev_hi is not None:
+            g = r["lo"] - prev_hi
+            if best is None or (g, -r["lo"]) > (best[0], -best[1]):
+                best = (g, r["lo"])
+        if r["mx"] is not None:
+            g, rres = r["mx"]["g"], -r["mx"]["nr"]
+            if best is None or (g, -rres) > (best[0], -best[1]):
+                best = (g, rres)
+        prev_hi = r["hi"]
+    lo_all = min(r["lo"] for r in summ) if summ else 0.0
+    hi_all = max(r["hi"] for r in summ) if summ else 0.0
+    wrap_gap = lo_all + modulus - hi_all
+    cut = lo_all if (best is None or wrap_gap >= best[0]) else best[1]
     rotated = resid.withColumn(
         "rot", F.pmod(F.col("residue") - F.lit(float(cut)), F.lit(modulus)))
     clustered = dbcan_1d(rotated.select(id_col, F.col("rot").alias("value")),

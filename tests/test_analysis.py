@@ -163,3 +163,72 @@ def test_dbrcan_function_df_groups(spark):
         assert len(got) == len(want)
         for g, w in zip(got, want):
             assert abs(g[0] - w[0]) < 1e-10 and g[1] == w[1]
+
+
+def _cmp_frames(a, b):
+    a = a.toPandas().sort_values("id").reset_index(drop=True)
+    b = b.toPandas().sort_values("id").reset_index(drop=True)
+    assert a["value"].tolist() == b["value"].tolist()
+    assert a["cluster_id"].fillna(-1).astype(int).tolist() == \
+        b["cluster_id"].fillna(-1).astype(int).tolist()
+
+
+@pytest.mark.parametrize("case", ["random", "straddle", "one_big", "ties"])
+def test_dbcan_bucketed_equals_global(spark, case):
+    """The range-bucketed dbcan_1d / dbcan_1d_core must return exactly
+    the global-window results, including clusters that straddle bucket
+    boundaries, a single cluster spanning every bucket, and duplicate
+    values sitting exactly on boundaries."""
+    rng = np.random.default_rng(7)
+    if case == "random":
+        vals = np.round(np.concatenate([
+            rng.uniform(0, 3, 200), rng.uniform(10, 10.4, 60),
+            rng.uniform(20, 40, 100)]), 4)
+    elif case == "straddle":
+        # dense chains with max gap just under eps — every quantile
+        # boundary cuts through a live cluster
+        vals = np.round(np.cumsum(rng.uniform(0.01, 0.19, 400)), 6)
+    elif case == "one_big":
+        vals = np.round(np.arange(0, 50, 0.05), 6)   # one giant chain
+    else:
+        vals = np.repeat(np.arange(0, 20, 0.5), 5)   # heavy duplicates
+    pdf = pd.DataFrame({"id": np.arange(len(vals)), "value": vals})
+    df = spark.createDataFrame(pdf)
+    for nb in (4, 8):
+        _cmp_frames(A.dbcan_1d(df, eps=0.2, min_pts=3, n_buckets=nb),
+                    A.dbcan_1d_global(df, eps=0.2, min_pts=3))
+        _cmp_frames(A.dbcan_1d_core(df, eps=0.2, min_pts=5, n_buckets=nb),
+                    A.dbcan_1d_core_global(df, eps=0.2, min_pts=5))
+
+
+def test_dbcan_bucketed_no_single_partition_exchange(spark):
+    """Scale contract: the bucketed paths plan NO single-partition
+    exchange (the global window variants do — that is why they are not
+    the default)."""
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"id": np.arange(500),
+                        "value": np.round(rng.uniform(0, 100, 500), 4)})
+    df = spark.createDataFrame(pdf)
+    for out in (A.dbcan_1d(df, eps=0.5, min_pts=3, n_buckets=8),
+                A.dbcan_1d_core(df, eps=0.5, min_pts=3, n_buckets=8)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan[:2000]
+    plan = A.dbcan_1d_global(df, eps=0.5, min_pts=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan
+
+
+def test_dbrcan_mod_bucketed_cut(spark):
+    """dbrcan_mod's bucketed largest-gap search must pick the same ring
+    cut as a brute-force numpy scan, including the wrap-preference tie."""
+    rng = np.random.default_rng(3)
+    vals = np.round(np.concatenate([
+        rng.uniform(1, 3, 80), rng.uniform(9, 11, 80),
+        rng.uniform(22, 23.6, 60)]), 4)
+    pdf = pd.DataFrame({"id": np.arange(len(vals)), "value": vals})
+    out = A.dbrcan_mod(spark.createDataFrame(pdf), modulus=24.0, eps=0.3,
+                       min_pts=3, n_buckets=8).toPandas()
+    # wrap cluster: 22..23.6 and 1..3 must NOT merge (gap 23.6->1+24=1.4
+    # > eps) but each dense band clusters
+    lab = out.sort_values("id")["cluster_id"].fillna(-1).astype(int).to_numpy()
+    assert len({l for l in lab if l >= 0}) >= 3
