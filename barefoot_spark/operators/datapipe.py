@@ -42,6 +42,18 @@ def exact_dedup(documents: DataFrame, text_col="text", id_col="doc_id") -> DataF
 _MERSENNE = (1 << 61) - 1
 
 
+def _spread_small(df: DataFrame) -> DataFrame:
+    """Repartition an under-split input up to the default parallelism so
+    the signature UDF stage is not serialized into one task (a 1-file
+    small table reads as one partition). A no-op at real scale, where
+    the scan already yields >= parallelism partitions — big inputs are
+    never reshuffled."""
+    tgt = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(tgt, 16):
+        return df.repartition(min(tgt, 16))
+    return df
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Rolling char k-gram hashes (uint64)."""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
@@ -60,18 +72,60 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+def minhash_signature_one(text: str, num_perm: int = 64, shingle_k: int = 5,
+                          seed: int = 42) -> np.ndarray:
+    """Single-doc reference path (kept for tests): (a*x+b) mod p, min
+    per permutation. min over duplicate shingles == min over unique, so
+    no dedup is needed."""
     a, b = _minhash_params(num_perm, seed)
+    sh = _shingle_hashes(text or "", shingle_k)
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1).astype(np.int64)
+
+
+def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+    """Batch-vectorized MinHash signatures: ONE sliding-window hash pass
+    over the batch's concatenated bytes (windows crossing doc boundaries
+    masked out), then per-permutation (a*x+b) mod p folded per doc with
+    np.minimum.reduceat — no per-doc Python loop in the hash/min path.
+    Bit-identical to minhash_signature_one (uint64 wrap + mod p in the
+    same order)."""
+    a, b = _minhash_params(num_perm, seed)
+    M = np.uint64(_MERSENNE)
+    mult = np.power(np.uint64(1000003),
+                    np.arange(shingle_k, dtype=np.uint64))
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = np.unique(_shingle_hashes(t or "", shingle_k))
-            # (a*x + b) mod p, min per permutation — vectorized (perm x shingle)
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        bufs = []
+        counts = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            bb = np.frombuffer((t or "").encode("utf-8", "ignore"),
+                               dtype=np.uint8)
+            if len(bb) < shingle_k:
+                bb = np.pad(bb, (0, shingle_k - len(bb)), constant_values=32)
+            bufs.append(bb)
+            counts[i] = len(bb) - shingle_k + 1
+        buf = np.concatenate(bufs)
+        lens = np.array([len(bb) for bb in bufs], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # valid window rows: [start_i, start_i + counts_i) per doc
+        total = int(counts.sum())
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        doc_of = np.repeat(np.arange(n), counts)
+        within = np.arange(total) - np.repeat(offs, counts)
+        win = np.lib.stride_tricks.sliding_window_view(buf, shingle_k)
+        rows = starts[doc_of] + within
+        sh_all = (win[rows].astype(np.uint64) * mult).sum(
+            axis=1, dtype=np.uint64)
+        sig = np.empty((num_perm, n), dtype=np.uint64)
+        for p in range(num_perm):
+            sig[p] = np.minimum.reduceat((a[p] * sh_all + b[p]) % M, offs)
+        out = sig.T.astype(np.int64)
+        return pd.Series(list(out))
     return _udf
 
 
@@ -91,22 +145,33 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     sig = documents.select(
         F.col(id_col).alias("_id"),
         minhash_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"))
+    # persist: the signature UDF feeds BOTH self-join sides plus the
+    # two verify lookups — without this Spark re-evaluates it 4x
+    sig = _spread_small(sig).persist()
+    # candidate generation carries only (id, band, bucket) — the wide
+    # sig arrays stay out of the join/dedup shuffles
     bands_df = sig.select(
-        "_id", "sig",
+        "_id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
                      .alias("bucket"))
             for i in range(bands)])).alias("bb")) \
-        .select("_id", "sig", "bb.band", "bb.bucket")
+        .select("_id", "bb.band", "bb.bucket")
     left = bands_df.alias("l")
     right = bands_df.alias("r")
     pairs = (left.join(right, [F.col("l.band") == F.col("r.band"),
                                F.col("l.bucket") == F.col("r.bucket"),
                                F.col("l._id") < F.col("r._id")])
-             .select(F.col("l._id").alias("left_id"), F.col("r._id").alias("right_id"),
-                     F.col("l.sig").alias("lsig"), F.col("r.sig").alias("rsig"))
+             .select(F.col("l._id").alias("left_id"),
+                     F.col("r._id").alias("right_id"))
              .dropDuplicates(["left_id", "right_id"]))
+    # verify stage: attach signatures to the (sparse) candidate pairs
+    pairs = (pairs
+             .join(sig.select(F.col("_id").alias("left_id"),
+                              F.col("sig").alias("lsig")), "left_id")
+             .join(sig.select(F.col("_id").alias("right_id"),
+                              F.col("sig").alias("rsig")), "right_id"))
     est = F.aggregate(
         F.zip_with("lsig", "rsig", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))
@@ -119,23 +184,68 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+def fnv1a_batch(tokens: list) -> np.ndarray:
+    """Vectorized FNV-1a over a token batch: tokens padded into a
+    (T, maxlen) uint8 matrix, then ONE numpy fold per byte COLUMN (the
+    per-byte chain is sequential, but across tokens it is data-parallel).
+    Bit-identical to hash_token."""
+    enc = [t.encode("utf-8", "ignore") for t in tokens]
+    T = len(enc)
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=T)
+    L = int(lens.max()) if T else 0
+    h = np.full(T, 0xCBF29CE484222325, dtype=np.uint64)
+    if L == 0:
+        return h
+    mat = np.zeros((T, L), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    mat[np.arange(L)[None, :] < lens[:, None]] = flat
+    prime = np.uint64(0x100000001B3)
+    for j in range(L):
+        valid = j < lens
+        hx = (h ^ mat[:, j].astype(np.uint64)) * prime
+        h = np.where(valid, hx, h)
+    return h
+
+
+def simhash_one(text: str) -> int:
+    """Single-doc reference path (kept for tests)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    val = np.uint64(0)
+    for bpos in range(64):
+        if votes[bpos] > 0:
+            val |= np.uint64(1) << np.uint64(bpos)
+    return int(val.astype(np.int64))
+
+
 def simhash_udf(seed: int = 42):
+    """Batch-vectorized SimHash: one fnv1a_batch over ALL tokens in the
+    Arrow batch, bit matrix + per-doc vote fold via np.add.reduceat —
+    no per-token or per-doc Python in the hash path. Bit-identical to
+    simhash_one."""
+    shifts = np.arange(64, dtype=np.uint64)
+
     @F.pandas_udf(LongType())
     def _udf(texts: pd.Series) -> pd.Series:
+        tok_lists = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            all_toks = [tok for i in nz for tok in tok_lists[i]]
+            hs = fnv1a_batch(all_toks)
+            bits = ((hs[:, None] >> shifts[None, :])
                     & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for bpos in range(64):
-                if votes[bpos] > 0:
-                    val |= np.uint64(1) << np.uint64(bpos)
-            out[i] = val.astype(np.int64)
+            offs = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+            votes = np.add.reduceat(2 * bits - 1, offs, axis=0)
+            vals = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            out[nz] = vals.astype(np.int64)
         return pd.Series(out)
     return _udf
 
@@ -158,6 +268,7 @@ def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     width = 64 // nblocks
     sh = documents.select(F.col(id_col).alias("_id"),
                           simhash_udf()(F.col(text_col)).alias("simhash"))
+    sh = _spread_small(sh).persist()   # one UDF pass feeds both join sides
     blocks = sh.select("_id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width).bitwiseAND(

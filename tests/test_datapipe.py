@@ -170,3 +170,32 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.9
+
+
+def test_minhash_batch_matches_single():
+    """Batch-vectorized signature kernel must be bit-identical to the
+    per-doc reference path — including empty, short (< k), unicode and
+    duplicate-shingle texts."""
+    texts = ["", "ab", "hello world hello world", "käse strasse éé",
+             "x" * 300, " ".join(f"tok{i}" for i in range(200)), None]
+    fn = D.minhash_signature_udf(num_perm=32, shingle_k=5).func
+    got = fn(pd.Series(texts)).tolist()
+    for t, g in zip(texts, got):
+        want = D.minhash_signature_one(t, num_perm=32, shingle_k=5)
+        assert list(g) == list(want), t
+
+
+def test_simhash_batch_matches_single():
+    texts = ["", "one", "the quick brown fox", "a a a b b", "Ünïcode tökens",
+             " ".join(f"w{i%7}" for i in range(500)), None]
+    fn = D.simhash_udf().func
+    got = fn(pd.Series(texts)).tolist()
+    for t, g in zip(texts, got):
+        assert int(g) == D.simhash_one(t), t
+
+
+def test_fnv1a_batch_matches_scalar():
+    toks = ["", "a", "hello", "Ünïcode", "x" * 64, "tok123"]
+    got = D.fnv1a_batch(toks)
+    for t, g in zip(toks, got):
+        assert int(g) == D.hash_token(t)
