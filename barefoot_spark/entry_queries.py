@@ -679,6 +679,166 @@ def oracle_ann_topk(sf_dir):
     """
 
 
+_EPOCH_MS_EXPR = ("timestampdiff(MICROSECOND, "
+                  "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                  "CAST(ts AS TIMESTAMP_NTZ)) div 1000")
+
+
+def q_sample_dup_times(spark, sf_dir):
+    """Duplicate-timestamp data-quality gate (the condition
+    MatcherServer.java:82-86 rejects on offline requests) as a
+    standalone op: events coarsened to whole seconds so real collisions
+    exist at test scale."""
+    from .operators.match import dup_times
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.select(
+        F.col("user_id").alias("trace_id"),
+        F.expr("timestampdiff(MINUTE, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+               "CAST(ts AS TIMESTAMP_NTZ))").alias("time"))
+    return dup_times(s)
+
+
+def oracle_sample_dup_times(sf_dir):
+    return """
+        WITH s AS (SELECT user_id AS trace_id,
+                          date_diff('minute', TIMESTAMP '1970-01-01 00:00:00',
+                                    ts) AS time
+                   FROM events)
+        SELECT trace_id, time, count(*) AS n_samples
+        FROM s GROUP BY trace_id, time HAVING count(*) > 1
+    """
+
+
+def q_subsample_traces(spark, sf_dir):
+    """Benchmark.subsample (matcher/Benchmark.java:165-179) over
+    event-derived traces: keep every 10th second plus the last sample
+    per trace — window filter, exact SQL twin."""
+    from .operators import evaluate as EV
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = ev.select(F.col("user_id").alias("trace_id"), "event_id",
+                  F.expr(_EPOCH_MS_EXPR).alias("time"))
+    return EV.subsample(s, interval_s=10)
+
+
+def oracle_subsample_traces(sf_dir):
+    return """
+        WITH s AS (SELECT user_id AS trace_id, event_id,
+                          epoch_us(ts) // 1000 AS time
+                   FROM events),
+        m AS (SELECT *, min(time) OVER (PARTITION BY trace_id) AS t0,
+                     max(time) OVER (PARTITION BY trace_id) AS t1
+              FROM s)
+        SELECT trace_id, event_id, time FROM m
+        WHERE (time - t0) % 10000 = 0 OR time = t1
+    """
+
+
+def q_candidate_sequence(spark, sf_dir):
+    """Benchmark.candidatesToSequence (matcher/Benchmark.java:103-124):
+    consecutive-duplicate edge dedup per trace — lag-window filter over
+    an events-derived matched sequence."""
+    from .operators import evaluate as EV
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        F.col("user_id").alias("trace_id"), "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        (F.floor(F.abs(F.col("value")) * 10.0).cast("long") % 5)
+        .alias("edge_id"))
+    return EV.candidates_to_sequence(m)
+
+
+def oracle_candidate_sequence(sf_dir):
+    return """
+        WITH m AS (SELECT user_id AS trace_id, event_id,
+                          CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS seq,
+                          CAST(floor(abs(value) * 10.0e0) AS BIGINT) % 5
+                              AS edge_id
+                   FROM events),
+        g AS (SELECT *, lag(edge_id) OVER (PARTITION BY trace_id
+                        ORDER BY seq) AS p
+              FROM m)
+        SELECT trace_id, event_id, seq, edge_id FROM g
+        WHERE p IS NULL OR p != edge_id
+    """
+
+
+def q_dbrcan_mod_events(spark, sf_dir):
+    """Modular DBRCAN over event values on a 24-ring. The rotate-at-
+    largest-gap trick makes it fully SQL-expressible: the oracle rotates
+    the ring at the same cut (same desc-gap / asc-residue / wrap-prefer
+    tie rules) and applies the dbcan_1d window algebra."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select(F.col("event_id").alias("id"), "value")
+    out = A.dbrcan_mod(ev, modulus=24.0, eps=0.002, min_pts=5)
+    return out.select(
+        "id", F.round("rotated_residue", 6).alias("rotated_residue"),
+        "cluster_id", F.round("residue", 6).alias("residue"))
+
+
+def oracle_dbrcan_mod_events(sf_dir):
+    return """
+        WITH r AS (SELECT event_id AS id, value,
+                          ((value % 24.0e0) + 24.0e0) % 24.0e0 AS residue
+                   FROM events),
+        g AS (SELECT residue, residue - lag(residue) OVER
+                     (ORDER BY residue, id) AS gap
+              FROM r),
+        a AS (SELECT min(residue) AS lo, max(residue) AS hi FROM r),
+        m AS (SELECT residue AS cand, gap FROM g WHERE gap IS NOT NULL
+              ORDER BY gap DESC, residue LIMIT 1),
+        c AS (SELECT CASE WHEN (SELECT count(*) FROM m) = 0
+                          OR (SELECT lo + 24.0e0 - hi FROM a)
+                             >= (SELECT gap FROM m)
+                     THEN (SELECT lo FROM a)
+                     ELSE (SELECT cand FROM m) END AS cut),
+        rot AS (SELECT id, residue,
+                       (((residue - (SELECT cut FROM c)) % 24.0e0) + 24.0e0)
+                           % 24.0e0 AS rv
+                FROM r),
+        gg AS (SELECT id, rv, rv - lag(rv) OVER (ORDER BY rv, id) AS gap
+               FROM rot),
+        cl AS (SELECT id, rv,
+                      sum(CASE WHEN gap IS NULL OR gap > 0.002e0
+                          THEN 1 ELSE 0 END) OVER
+                          (ORDER BY rv, id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cs
+               FROM gg),
+        lab AS (SELECT id, rv,
+                       CASE WHEN count(*) OVER (PARTITION BY cs) >= 5
+                            THEN min(id) OVER (PARTITION BY cs)
+                       END AS cluster_id
+                FROM cl)
+        SELECT lab.id, round(lab.rv, 6) AS rotated_residue, lab.cluster_id,
+               round(rot.residue, 6) AS residue
+        FROM lab JOIN rot ON lab.id = rot.id
+    """
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (multiprobe hamming <= 2, exact
+    cosine re-rank in the probed set) — the scale path whose exact
+    twin is ann_topk; recall is pytest-verified, so rows-only here."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    out = DP.lsh_bucket_topk(emb, queries, k=10, dim=64)
+    return out.select("q_id", "vec_id",
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("cosine", 6).alias("cosine"))
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs via LSH self-join + exact cosine
+    refine (rows-only: seeded hyperplane buckets)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = DP.cosine_near_dup(emb, threshold=0.25, dim=64)
+    return out.select("left_id", "right_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
 def q_connected_components(spark, sf_dir):
     """Weakly-connected components via the large-star/small-star
     algorithm over an orders-derived sparse graph (iterative
@@ -857,6 +1017,12 @@ QUERIES = {
     "tile_counts": q_tile_counts,
     "directed_edges": q_directed_edges,
     "road_type_gate": q_road_type_gate,
+    "sample_dup_times": q_sample_dup_times,
+    "subsample_traces": q_subsample_traces,
+    "candidate_sequence": q_candidate_sequence,
+    "dbrcan_mod_events": q_dbrcan_mod_events,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "cosine_near_dup": q_cosine_near_dup,
     "radius_join": q_radius_join,
     "radius_join_fast": q_radius_join_fast,
     "nearest_join_fast": q_nearest_join_fast,
@@ -894,6 +1060,12 @@ ORACLES = {
     "tile_counts": oracle_tile_counts,
     "directed_edges": oracle_directed_edges,
     "road_type_gate": oracle_road_type_gate,
+    "sample_dup_times": oracle_sample_dup_times,
+    "subsample_traces": oracle_subsample_traces,
+    "candidate_sequence": oracle_candidate_sequence,
+    "dbrcan_mod_events": oracle_dbrcan_mod_events,
+    # lsh_ann_topk / cosine_near_dup: seeded hyperplane UDF buckets ->
+    # rows-only (the exact brute-force twin is ann_topk's oracle)
     "radius_join": oracle_radius_join,
     "radius_join_fast": oracle_radius_join_fast,
     "nearest_join_fast": oracle_nearest_join_fast,

@@ -63,6 +63,14 @@ class MatcherParams:
     min_distance: float = 0.0      # thinning (Matcher.java:376-380)
     min_interval_ms: int = 0
     routing_cost: str = "time"     # MatcherTest routes with Time cost
+    # duplicate-timestamp policy for BATCH matching, mirroring
+    # MatcherServer.java:82-86 ("multiple samples for same time" is an
+    # error on offline requests). "error" raises; "drop" keeps the first
+    # sample per (trace, time); "accept" is the pre-gate legacy
+    # behavior. The ONLINE matcher intentionally has no such gate:
+    # TrackerServer.java:168 / KState.java:182 reject only strictly
+    # out-of-order samples, equal times pass through.
+    dup_time: str = "error"
 
 
 # ---------------------------------------------------------------------------
@@ -683,6 +691,21 @@ def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
     lons = np.asarray(lons, dtype=np.float64)[order]
     azimuths = np.asarray(azimuths, dtype=np.float64)[order]
 
+    # duplicate-timestamp gate (MatcherSERVER semantics for offline
+    # requests, MatcherServer.java:82-86)
+    if len(times_ms) > 1:
+        dup = np.concatenate([[False], times_ms[1:] == times_ms[:-1]])
+        if dup.any():
+            if params.dup_time == "error":
+                raise ValueError(
+                    f"multiple samples for same time (trace {trace_id}, "
+                    f"t={int(times_ms[np.flatnonzero(dup)[0]])})")
+            if params.dup_time == "drop":
+                keep_m = ~dup   # stable sort: first-arrived sample wins
+                sample_ids, times_ms = sample_ids[keep_m], times_ms[keep_m]
+                lats, lons = lats[keep_m], lons[keep_m]
+                azimuths = azimuths[keep_m]
+
     cost_vec = idx.cost_vector(params.routing_cost)
     bound_vec = idx.cost_dist
     tp_vec = idx.cost_timeprio
@@ -753,6 +776,17 @@ def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
                      float(c.route_len) if c.route_len is not None else 0.0,
                      float(c.filtprob), float(c.seqprob)))
     return rows
+
+
+def dup_times(samples: DataFrame, id_col="trace_id",
+              time_col="time") -> DataFrame:
+    """Data-quality gate (SURVEY §2.1): (trace, time) pairs carrying
+    more than one sample — the condition MatcherServer.java:82-86
+    rejects on offline requests. Pure Catalyst groupBy (map-side
+    combine, one shuffle); exact DuckDB twin in entry_queries."""
+    return (samples.groupBy(id_col, time_col)
+            .agg(F.count("*").alias("n_samples"))
+            .filter(F.col("n_samples") > 1))
 
 
 def match_traces(samples: DataFrame, idx_bc, params: MatcherParams | None = None,

@@ -509,3 +509,47 @@ def test_match_trace_route_cache_equivalence():
                 g["lat"].to_numpy(np.float64), g["lon"].to_numpy(np.float64),
                 g["azimuth"].to_numpy(np.float64), M.MatcherParams())
         assert M.match_trace(*args, route_cache=cache) == M.match_trace(*args)
+
+
+def test_duplicate_timestamp_gate():
+    """Batch matching mirrors MatcherServer.java:82-86: duplicate
+    sample times are an error by default; dup_time='drop' keeps the
+    first-arrived sample per time and matches the pre-deduped input;
+    the ONLINE matcher (TrackerServer.java:168 / KState.java:182)
+    accepts equal times and rejects only strictly-older samples."""
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.sources import samples as SS
+    from barefoot_spark.streaming.online import OnlineMatcher
+
+    idx = RoadIndex(R.grid_pdf(8, seed=5), res=16)
+    pdf = SS.synth_traces(idx, n_traces=1, samples_per_trace=20, seed=5)
+    g = pdf.sort_values("time").reset_index(drop=True)
+    # duplicate sample 5's timestamp onto a copy of sample 6's position
+    dup = g.copy()
+    dup.loc[6, "time"] = dup.loc[5, "time"]
+
+    def args(frame, params):
+        return (idx, "t0", frame["sample_id"].to_numpy(),
+                frame["time"].to_numpy(np.int64),
+                frame["lat"].to_numpy(np.float64),
+                frame["lon"].to_numpy(np.float64),
+                frame["azimuth"].to_numpy(np.float64), params)
+
+    with pytest.raises(ValueError, match="multiple samples for same time"):
+        M.match_trace(*args(dup, M.MatcherParams()))
+
+    dropped = M.match_trace(*args(dup, M.MatcherParams(dup_time="drop")))
+    manual = M.match_trace(*args(dup.drop(index=6), M.MatcherParams()))
+    assert dropped == manual
+
+    clean = M.match_trace(*args(g, M.MatcherParams(dup_time="accept")))
+    assert clean == M.match_trace(*args(g, M.MatcherParams()))
+
+    # online: equal time passes the order gate, older is rejected
+    om = OnlineMatcher(idx)
+    r0 = g.iloc[0]
+    assert om.update("x", int(r0["time"]), r0["lat"], r0["lon"])[0] == "ok"
+    assert om.update("x", int(r0["time"]), r0["lat"], r0["lon"])[0] == "ok"
+    assert om.update("x", int(r0["time"]) - 1000, r0["lat"], r0["lon"])[0] \
+        == "order"
