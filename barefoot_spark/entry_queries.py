@@ -839,6 +839,45 @@ def q_cosine_near_dup(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
+def q_x0001_match(spark, sf_dir):
+    """Flagship fixture through the DISTRIBUTED matcher: the full
+    1194-sample Munich trace (x0001-001.json) matched by match_traces
+    (broadcast index + partition kernel) on a corridor map synthesized
+    from its own track, mmatch params (1 m, 500 ms) as in
+    MatcherExample.java:47-73. Rows-only (stateful HMM kernel)."""
+    import json as _json
+    from .index import RoadIndex
+    from .operators import match as M
+    from .sources import samples as SS
+
+    base = ("/root/reference/src/test/resources/com/bmwcarit/barefoot/"
+            "matcher/x0001-001")
+    arr = _json.load(open(base + ".json"))
+    pdf = SS.parse_sample_json(pd.Series([_json.dumps(o) for o in arr]))
+    track = np.array(_json.load(open(base + ".geojson"))["coordinates"])
+    pts = track[::3]
+    entries = [(i + 1, 100 + i, 100 + i + 1, False,
+                f"LINESTRING({pts[i][0]} {pts[i][1]}, "
+                f"{pts[i + 1][0]} {pts[i + 1][1]})")
+               for i in range(len(pts) - 1)]
+    idx = RoadIndex(roads.roads_pdf_from_entries(entries), res=15)
+    idx_bc = spark.sparkContext.broadcast(idx)
+
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "trace_id": "x0001-001",
+        "sample_id": np.arange(len(pdf)).astype(str),
+        "time": pdf["time"].to_numpy("int64"),
+        "lat": pdf["lat"].to_numpy(), "lon": pdf["lon"].to_numpy(),
+        "azimuth": pdf["azimuth"].to_numpy()}))
+    out = M.match_traces(sdf, idx_bc,
+                         M.MatcherParams(min_distance=1.0,
+                                         min_interval_ms=500))
+    return out.select("trace_id", "seq", "sample_id", "time", "edge_id",
+                      F.round("fraction", 6).alias("fraction"),
+                      F.round("lat", 6).alias("lat"),
+                      F.round("lon", 6).alias("lon"))
+
+
 def q_connected_components(spark, sf_dir):
     """Weakly-connected components via the large-star/small-star
     algorithm over an orders-derived sparse graph (iterative
@@ -1023,6 +1062,7 @@ QUERIES = {
     "dbrcan_mod_events": q_dbrcan_mod_events,
     "lsh_ann_topk": q_lsh_ann_topk,
     "cosine_near_dup": q_cosine_near_dup,
+    "x0001_match": q_x0001_match,
     "radius_join": q_radius_join,
     "radius_join_fast": q_radius_join_fast,
     "nearest_join_fast": q_nearest_join_fast,

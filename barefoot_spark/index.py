@@ -33,6 +33,7 @@ class RoadIndex:
         self.res = int(res)
         pdf = roads_pdf.sort_values("gid").reset_index(drop=True)
         self.gid = pdf["gid"].to_numpy(np.int64)
+        self.osm_id = pdf["osm_id"].to_numpy(np.int64)
         self.oneway = pdf["oneway"].to_numpy(bool)
         self.priority = pdf["priority"].to_numpy(np.float64)
         self.maxspeed_f = pdf["maxspeed_forward"].to_numpy(np.float64)

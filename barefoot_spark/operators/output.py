@@ -167,3 +167,41 @@ def to_debug_json(matched: DataFrame) -> DataFrame:
         F.to_json(F.struct("sample_id", "time", "edge_id", "fraction",
                            "lat", "lon", "azimuth", "route_length",
                            "filtprob", "seqprob")).alias("debug"))
+
+
+def to_osm_json(matched: DataFrame, idx_bc) -> DataFrame:
+    """OSM-referenced output (MatcherKState.toOSMJSON,
+    matcher/MatcherKState.java:206-258): every road reference is
+    rewritten to the "osm_refid:source:target" form (getOSMRoad,
+    MatcherKState.java:207-209) — the matched point's road and every
+    road of the transition route. One mapInPandas over the matched
+    rows with the broadcast index (same pattern as route geometry)."""
+    schema = StructType([StructField("trace_id", StringType()),
+                         StructField("seq", StringType()),
+                         StructField("osm_json", StringType())])
+
+    def run(batches):
+        idx = idx_bc.value
+
+        def osm(ei: int) -> str:
+            return (f"{int(idx.osm_id[idx.edge_base[ei]])}:"
+                    f"{int(idx.edge_src[ei])}:{int(idx.edge_dst[ei])}")
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ei = int(idx.eid_to_idx(np.array([r.edge_id]))[0])
+                route = [int(e) for e in r.route_edges] \
+                    if r.route_edges is not None else []
+                ris = idx.eid_to_idx(np.array(route, dtype=np.int64)) \
+                    if route else []
+                obj = {"id": r.trace_id, "time": int(r.time),
+                       "point": {"road": osm(ei),
+                                 "frac": float(r.fraction)},
+                       "route": [osm(int(x)) for x in ris]}
+                rows.append((r.trace_id, str(int(r.seq)), json.dumps(obj)))
+            yield pd.DataFrame(rows,
+                               columns=["trace_id", "seq", "osm_json"])
+
+    return matched.select("trace_id", "seq", "time", "edge_id", "fraction",
+                          "route_edges").mapInPandas(run, schema)

@@ -553,3 +553,85 @@ def test_duplicate_timestamp_gate():
     assert om.update("x", int(r0["time"]), r0["lat"], r0["lon"])[0] == "ok"
     assert om.update("x", int(r0["time"]) - 1000, r0["lat"], r0["lon"])[0] \
         == "order"
+
+
+def test_x0001_001_full_fixture_end_to_end():
+    """The reference's FLAGSHIP fixture: all 1194 Munich samples of
+    x0001-001.json matched with MatcherExample's mmatch params
+    (minDistance=1 m, minInterval=500 ms — MatcherExample.java:47-73),
+    on a corridor map synthesized from the trace's own geojson track
+    (x0001-001.geojson == the raw track, verified coordinate-identical).
+    Asserts: thinning keeps nearly all 5s-interval samples, the matcher
+    drops none of them, the corridor is walked monotonically end to end,
+    every matched position stays within the emission radius of its
+    sample, and Benchmark.error of the corridor vs the matched route
+    sequence is small."""
+    import json
+    import pandas as pd
+    from barefoot_spark import geo, roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.sources import samples as SS
+    from barefoot_spark.operators import evaluate as EV
+
+    base = ("/root/reference/src/test/resources/com/bmwcarit/barefoot/"
+            "matcher/x0001-001")
+    arr = json.load(open(base + ".json"))
+    samples = SS.parse_sample_json(pd.Series([json.dumps(o) for o in arr]))
+    assert len(samples) == 1194
+    track = np.array(json.load(open(base + ".geojson"))["coordinates"])
+
+    # corridor: one road per 3 consecutive track points (~3x sample
+    # spacing, so matching has to route across roads)
+    pts = track[::3]
+    entries = []
+    for i in range(len(pts) - 1):
+        entries.append((i + 1, 100 + i, 100 + i + 1, False,
+                        f"LINESTRING({pts[i][0]} {pts[i][1]}, "
+                        f"{pts[i+1][0]} {pts[i+1][1]})"))
+    idx = RoadIndex(R.roads_pdf_from_entries(entries), res=15)
+
+    params = M.MatcherParams(min_distance=1.0, min_interval_ms=500)
+    rows = M.match_trace(
+        idx, "x0001-001", np.arange(len(samples)).astype(str),
+        samples["time"].to_numpy("int64"),
+        samples["lat"].to_numpy(), samples["lon"].to_numpy(),
+        samples["azimuth"].to_numpy(), params, route_cache={})
+
+    # the matcher must emit EXACTLY the thinning-kept samples (1 Hz
+    # trace with mmatch(1, 500): sub-meter stand-still samples drop,
+    # Matcher.java:376-380) — no HMM drops on its own fixture
+    t = samples["time"].to_numpy("int64")
+    la, lo = samples["lat"].to_numpy(), samples["lon"].to_numpy()
+    kept = 0
+    last = None
+    for i in range(len(t)):
+        if last is not None:
+            d = float(geo.distance(la[i], lo[i], la[last], lo[last]))
+            if d < 1.0 or (t[i] - t[last]) < 500:
+                continue
+        kept += 1
+        last = i
+    assert len(rows) == kept >= 800
+    k_lat = {int(r[2]): (r[6], r[7]) for r in rows}
+    s_lat = samples["lat"].to_numpy()
+    s_lon = samples["lon"].to_numpy()
+    dists = [float(geo.distance(s_lat[i], s_lon[i], la, lo))
+             for i, (la, lo) in k_lat.items()]
+    assert max(dists) <= params.max_radius       # on-corridor positions
+    assert float(np.mean(dists)) < 15.0          # tight to the track
+
+    eids = [r[4] for r in rows]
+    bases = np.array([e // 2 for e in eids])
+    assert (np.diff(bases) >= 0).mean() > 0.95   # monotone corridor walk
+    assert bases[-1] - bases[0] >= (len(pts) - 1) * 0.9
+
+    # Benchmark.error: corridor ground truth vs matched route sequence
+    route_seq = []
+    for r in rows:
+        for e in r[9]:
+            if not route_seq or route_seq[-1] != int(e):
+                route_seq.append(int(e))
+    left = [int(idx.edge_id[j]) for j in range(0, len(idx.edge_id), 2)]
+    left_lens = [float(idx.edge_len[j]) for j in range(0, len(idx.edge_id), 2)]
+    err = EV.error(left, left_lens, route_seq)
+    assert err < 0.25

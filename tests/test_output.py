@@ -61,3 +61,39 @@ def test_geojson_and_slim_sinks(spark, idx):
     assert len(slim) > 0
     rec = json.loads(slim.iloc[0]["slim"])
     assert "road" in rec and "frac" in rec
+
+
+def test_to_osm_json_road_references(spark):
+    """toOSMJSON format golden: every road reference must be the
+    "osm_refid:source:target" triple of the matched edge
+    (MatcherKState.getOSMRoad), for the candidate point and each route
+    road."""
+    import json as _json
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.operators import match as M
+    from barefoot_spark.operators import output as O
+    from barefoot_spark.sources import samples as SS
+
+    idx = RoadIndex(R.grid_pdf(6, seed=3), res=16)
+    pdf = SS.synth_traces(idx, n_traces=2, samples_per_trace=12, seed=3)
+    idx_bc = spark.sparkContext.broadcast(idx)
+    matched = M.match_traces(spark.createDataFrame(pdf), idx_bc)
+    out = O.to_osm_json(matched, idx_bc).toPandas()
+    assert len(out) == 24
+    mpdf = matched.toPandas()
+    eid_pos = {int(e): j for j, e in enumerate(idx.edge_id)}
+
+    def triple(eid):
+        j = eid_pos[int(eid)]
+        return (f"{int(idx.osm_id[idx.edge_base[j]])}:"
+                f"{int(idx.edge_src[j])}:{int(idx.edge_dst[j])}")
+
+    by_key = {(r.trace_id, str(r.seq)): r for r in mpdf.itertuples(index=False)}
+    for rec, tid, seq in zip(out["osm_json"], out["trace_id"], out["seq"]):
+        obj = _json.loads(rec)
+        src_row = by_key[(tid, seq)]
+        # the point's road is the matched edge's OSM triple, and the
+        # route rewrites each edge id to its triple, in order
+        assert obj["point"]["road"] == triple(src_row.edge_id)
+        assert obj["route"] == [triple(e) for e in src_row.route_edges]
