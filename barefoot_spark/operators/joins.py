@@ -68,9 +68,27 @@ def _probe_op(points: DataFrame, idx_bc, point_id: str, query_fn) -> DataFrame:
 
 
 def radius_join(points: DataFrame, idx_bc, radius_m: float,
-                point_id: str = "point_id", directed: bool = True) -> DataFrame:
+                point_id: str = "point_id", directed: bool = True,
+                prefilter: tuple | None = None) -> DataFrame:
     """All (point, directed-edge, fraction) pairs within radius_m
-    (QuadTreeIndex.radius + RoadMap.Index.split semantics)."""
+    (QuadTreeIndex.radius + RoadMap.Index.split semantics).
+
+    prefilter: optional ``(covered_cells_df, res)`` — a DataFrame with
+    one ``cell`` column holding the radius-expanded segment cover at
+    ``res`` (e.g. ``segment_parts_pdf(idx, radius_m, res)`` cells, the
+    same cover radius_join_fast joins on). Points outside the cover
+    cannot have a hit, so a JVM-side broadcast LEFT SEMI join drops them
+    BEFORE the Arrow exchange into the Python probe — shrinking the
+    kernel pipe by the no-hit fraction with identical output."""
+    if prefilter is not None:
+        from . import tiles as T
+        cover_df, res = prefilter
+        points = (points.withColumn(
+                      "_pc", T.cell_expr(F.col("lat"), F.col("lon"), res))
+                  .join(F.broadcast(cover_df.select(
+                      F.col("cell").alias("_pc"))), "_pc", "left_semi")
+                  .drop("_pc"))
+
     def q(idx, lat, lon):
         pt, base, frac, dist = idx.radius(lat, lon, radius_m)
         if directed:

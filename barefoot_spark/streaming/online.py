@@ -52,7 +52,15 @@ def prune_chains(sequence):
         return
     referenced = {id(c.pred) for c in sequence[-1][0] if c.pred is not None}
     for vec, _t in reversed(sequence[:-1]):
+        n_before = len(vec)
         vec[:] = [c for c in vec if id(c) in referenced]
+        if len(vec) == n_before:
+            # nothing removed: this vector's pred-reference set is
+            # unchanged since the previous prune, and everything
+            # upstream was already pruned against exactly that set —
+            # the backward walk is amortized O(changed), mirroring the
+            # reference's incremental refcounting (KState.remove)
+            break
         referenced = {id(c.pred) for c in vec if c.pred is not None}
 
 

