@@ -142,14 +142,15 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     by exact-dedup running first in a real pipeline.
     """
     rows_per_band = num_perm // bands
-    sig = documents.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature_udf(num_perm, shingle_k)(F.col(text_col)).alias("sig"))
-    # persist: the signature UDF feeds BOTH self-join sides plus the
-    # two verify lookups — without this Spark re-evaluates it 4x
-    sig = _spread_small(sig).persist()
-    # candidate generation carries only (id, band, bucket) — the wide
-    # sig arrays stay out of the join/dedup shuffles
+    udf = minhash_signature_udf(num_perm, shingle_k)
+    docs_p = _spread_small(documents.select(F.col(id_col).alias("_id"),
+                                            F.col(text_col).alias("_text")))
+    sig = docs_p.select("_id", udf(F.col("_text")).alias("sig"))
+    # candidate generation carries only (id, band, bucket): persist the
+    # SCALAR band table (Spark's columnar cache is pathologically slow
+    # on array columns — ~10x the UDF cost), and let the two sparse
+    # verify lookups recompute the now-cheap batch-vectorized UDF
+    # instead of caching the signature arrays
     bands_df = sig.select(
         "_id",
         F.explode(F.array(*[
@@ -157,7 +158,8 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                      F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
                      .alias("bucket"))
             for i in range(bands)])).alias("bb")) \
-        .select("_id", "bb.band", "bb.bucket")
+        .select("_id", "bb.band", "bb.bucket").persist()
+    bands_df.count()   # eager: else the two self-join branches race
     left = bands_df.alias("l")
     right = bands_df.alias("r")
     pairs = (left.join(right, [F.col("l.band") == F.col("r.band"),
@@ -167,6 +169,7 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                      F.col("r._id").alias("right_id"))
              .dropDuplicates(["left_id", "right_id"]))
     # verify stage: attach signatures to the (sparse) candidate pairs
+    # (recomputed — see the persist note above)
     pairs = (pairs
              .join(sig.select(F.col("_id").alias("left_id"),
                               F.col("sig").alias("lsig")), "left_id")
@@ -269,6 +272,7 @@ def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     sh = documents.select(F.col(id_col).alias("_id"),
                           simhash_udf()(F.col(text_col)).alias("simhash"))
     sh = _spread_small(sh).persist()   # one UDF pass feeds both join sides
+    sh.count()                         # eager: avoid the two-branch race
     blocks = sh.select("_id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width).bitwiseAND(
