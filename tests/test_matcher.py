@@ -635,3 +635,23 @@ def test_x0001_001_full_fixture_end_to_end():
     left_lens = [float(idx.edge_len[j]) for j in range(0, len(idx.edge_id), 2)]
     err = EV.error(left, left_lens, route_seq)
     assert err < 0.25
+
+
+def test_edge_successors_reference_graph():
+    """EdgeTest.testSuccessors (topology/EdgeTest.java:26-127) verbatim:
+    successors(e) = every edge whose source equals e's target, on the
+    8-edge reference graph."""
+    edges = [(0, 0, 1), (1, 1, 0), (2, 1, 2), (3, 2, 1),
+             (4, 3, 1), (6, 4, 0), (7, 0, 4), (8, 0, 5)]
+    idx = _stub_idx(edges)
+    eid = [e[0] for e in edges]
+
+    def succ_ids(pos):
+        s, e = idx.succ_offsets[pos], idx.succ_offsets[pos + 1]
+        return {eid[int(j)] for j in idx.successors[s:e]}
+
+    assert succ_ids(0) == {1, 2}          # edge0 -> {1, 2}
+    assert succ_ids(3) == {1, 2}          # edge3 -> {1, 2}
+    assert succ_ids(1) == {0, 7, 8}       # edge1 -> {0, 7, 8}
+    assert succ_ids(7) == set()           # edge8 -> {}
+    assert succ_ids(2) == {3}             # edge2 -> {3}

@@ -233,3 +233,73 @@ def test_statememory_semantics_via_k0():
 
     update([])
     assert size() == 4 and estimate(seq[-1][0]).eidx == 13
+
+
+def test_temporary_memory_ttl_semantics():
+    """TemporaryMemoryTest (tracker/TemporaryMemoryTest.java:47-95) with
+    logical clocks: a state updated with ttl stays alive within the ttl
+    window with its value intact, dies after, explicit delete removes it
+    immediately, and under mixed refreshes only refreshed keys survive
+    (test 3's convergence, deterministically)."""
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.streaming.online import OnlineMatcher
+
+    idx = RoadIndex(R.grid_pdf(6, seed=3), res=16)
+    la = float(idx.coords[0][1]) + 1e-4
+    lo = float(idx.coords[0][0]) + 1e-4
+    om = OnlineMatcher(idx, ttl_ms=5000)
+
+    # test 1: alive at +2s with state intact, dead after ttl
+    assert om.update("abc", 0, la, lo, now_ms=0)[0] == "ok"
+    assert om.expire(2000) == []
+    st = om.states.get("abc")
+    assert st is not None and len(st.sequence) == 1
+    assert om.expire(6000) == ["abc"]
+    assert om.states.get("abc") is None
+
+    # test 2: explicit delete beats the ttl
+    om.update("abc", 0, la, lo, now_ms=0)
+    om.states.pop("abc")
+    assert om.states.get("abc") is None and om.expire(10_000) == []
+
+    # test 3 (deterministic): 50 keys at t=0; half refreshed at t=4s;
+    # at t=6s only the refreshed half lives, at t=10s none do
+    for i in range(50):
+        om.update(f"k{i}", 0, la, lo, now_ms=0)
+    for i in range(0, 50, 2):
+        om.update(f"k{i}", 1000, la, lo, now_ms=4000)
+    dead = om.expire(6000)
+    assert sorted(dead) == sorted(f"k{i}" for i in range(1, 50, 2))
+    assert len(om.states) == 25
+    assert len(om.expire(10_000)) == 25 and not om.states
+
+
+def test_road_point_json_roundtrip():
+    """RoadPointTest.testJSON (roadmap/RoadPointTest.java:31-50): a
+    road point (edge, fraction) survives the JSON state round-trip with
+    edge id, fraction and directed source/target intact — via the
+    KState-analog state serializer on the reference's test WKT."""
+    import json
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.operators.match import _Cand
+    from barefoot_spark.streaming.online import (
+        OnlineState, state_from_json, state_to_json)
+
+    wkt = "LINESTRING(11.3136273 48.0972002,11.3138846 48.0972999)"
+    idx = RoadIndex(R.roads_pdf_from_entries([(1, 1, 2, True, wkt)]), res=15)
+    ei = 0
+    c = _Cand(ei, 0.2, 48.09722, 11.31373, 45.0)
+    c.filtprob, c.seqprob = 1.0, 0.0
+    st = OnlineState()
+    st.sequence.append(([c], 123456))
+    st.last_time, st.last_lat, st.last_lon = 123456, c.lat, c.lon
+
+    st2 = state_from_json(json.loads(json.dumps(state_to_json(st))))
+    c2 = st2.sequence[0][0][0]
+    assert c2.eidx == c.eidx
+    assert abs(c2.frac - c.frac) < 1e-6
+    assert int(idx.edge_id[c2.eidx]) == int(idx.edge_id[c.eidx])
+    assert int(idx.edge_src[c2.eidx]) == int(idx.edge_src[c.eidx])
+    assert int(idx.edge_dst[c2.eidx]) == int(idx.edge_dst[c.eidx])
