@@ -878,6 +878,38 @@ def q_x0001_match(spark, sf_dir):
                       F.round("lon", 6).alias("lon"))
 
 
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling over an opaque binary container column
+    (deterministic fake codec; index-seek decode of only the sampled
+    frames). Rows-only: seeded binary synthesis."""
+    from .sources import media as MD
+    vids = spark.createDataFrame(MD.synth_videos_pdf(48, n_frames=12)) \
+        .repartition(8)
+    out = MD.sample_frames(vids, every_n=4)
+    return out.select("video_id", "frame_idx",
+                      F.round("t_s", 6).alias("t_s"),
+                      F.crc32("frame").alias("frame_crc"), "w", "h")
+
+
+def q_image_resize(spark, sf_dir):
+    """Decode -> box-filter resize -> re-encode over the image binary
+    column (rows-only: stand-in codec)."""
+    from .sources import images as IM
+    from .sources import media as MD
+    imgs = spark.createDataFrame(IM.synth_images_pdf(128)).repartition(8)
+    out = MD.resize_images(imgs, 16, 12)
+    return out.select("image_id", F.crc32("bytes").alias("bytes_crc"),
+                      "w", "h", "fmt")
+
+
+def q_audio_features(spark, sf_dir):
+    """Per-clip DSP features (RMS, zero-crossings, spectral centroid)
+    over the PCM binary column (rows-only: seeded synthesis)."""
+    from .sources import media as MD
+    aud = spark.createDataFrame(MD.synth_audio_pdf(96)).repartition(8)
+    return MD.audio_features(aud)
+
+
 def q_connected_components(spark, sf_dir):
     """Weakly-connected components via the large-star/small-star
     algorithm over an orders-derived sparse graph (iterative
@@ -1063,6 +1095,9 @@ QUERIES = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "cosine_near_dup": q_cosine_near_dup,
     "x0001_match": q_x0001_match,
+    "video_frame_sample": q_video_frame_sample,
+    "image_resize": q_image_resize,
+    "audio_features": q_audio_features,
     "radius_join": q_radius_join,
     "radius_join_fast": q_radius_join_fast,
     "nearest_join_fast": q_nearest_join_fast,
