@@ -213,8 +213,24 @@ class _EdgeTree:
                     self.ctr += 1
 
 
+def prepare_targets(idx: RoadIndex, targets):
+    """Per-step precomputation shared by every source routing to the
+    same target set: target_by_edge and the pred-keyed reach-mark map
+    (building these per source would repeat identical work P times)."""
+    target_by_edge: dict[int, list] = {}
+    for pos, (te, tf) in enumerate(targets):
+        target_by_edge.setdefault(int(te), []).append((pos, float(tf)))
+    idx_pred = idx.pred_lists()
+    reach_by_pred: dict[int, list] = {}
+    for te, lst in target_by_edge.items():
+        for p in idx_pred[te]:
+            reach_by_pred.setdefault(p, []).extend(
+                (pos, te, tf) for pos, tf in lst)
+    return target_by_edge, reach_by_pred
+
+
 def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
-                      bound_max, cache: dict):
+                      bound_max, cache: dict, prepared=None):
     """route_ssmt with a shared per-source-edge tree cache (SURVEY §7's
     route-cache plan). Exact same results as route_ssmt — the replay
     walks the recorded pop sequence in cost order, synthesizing reach
@@ -233,9 +249,8 @@ def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
     K1 = cost_vec[se] * (1.0 - sf)
     K2 = bound_vec[se] * (1.0 - sf)
 
-    target_by_edge: dict[int, list] = {}
-    for pos, (te, tf) in enumerate(targets):
-        target_by_edge.setdefault(int(te), []).append((pos, float(tf)))
+    target_by_edge, reach_by_pred = prepared if prepared is not None \
+        else prepare_targets(idx, targets)
 
     revents: list = []   # (abs_cost, ctr, pos, edge, pred, abs_bnd)
     rctr = 0
@@ -248,16 +263,6 @@ def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
             rb = K1 - bound_vec[se] * (1.0 - tf)
             heapq.heappush(revents, (rc, rctr, pos, se, -1, rb))
             rctr += 1
-
-    # invert the target set once: reach marks for target te are pushed
-    # exactly when a predecessor of te expands, so keying by pred makes
-    # the replay one dict lookup per pop (vs scanning successors)
-    idx_pred = idx.pred_lists()
-    reach_by_pred: dict[int, list] = {}
-    for te, lst in target_by_edge.items():
-        for p in idx_pred[te]:
-            reach_by_pred.setdefault(p, []).extend(
-                (pos, te, tf) for pos, tf in lst)
 
     finish: dict[int, tuple] = {}
     pending = set(range(len(targets)))
@@ -587,11 +592,13 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
         pend_pi: list[int] = []
         pend_ci: list[int] = []
         pend_cost: list[float] = []
+        prepared = prepare_targets(idx, targets) \
+            if route_cache is not None else None
         for pi, p in enumerate(prev_vector):
             if route_cache is not None:
                 paths = route_ssmt_cached(idx, (p.eidx, p.frac), targets,
                                           cost_rt_list, bound_list, bound,
-                                          route_cache)
+                                          route_cache, prepared=prepared)
             else:
                 paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
                                    bound_vec, bound)
@@ -717,19 +724,27 @@ def match_trace(idx: RoadIndex, trace_id, sample_ids, times_ms, lats, lons,
     # thinning (Matcher.java:376-380) needs the last *kept* sample, so the
     # kept set is decided sequentially; radius search runs vectorized on
     # the kept samples afterwards.
-    kept = []
-    last_t, last_lat, last_lon = None, None, None
-    for i in range(len(times_ms)):
-        if last_t is not None:
-            d = float(geo.distance(lats[i], lons[i], last_lat, last_lon))
-            if d < max(0.0, params.min_distance) or \
-                    (times_ms[i] - last_t) < max(0, params.min_interval_ms):
-                continue
-        kept.append(i)
-        last_t, last_lat, last_lon = times_ms[i], lats[i], lons[i]
-    if not kept:
+    min_d = max(0.0, params.min_distance)
+    min_dt = max(0, params.min_interval_ms)
+    if min_d <= 0.0 and min_dt <= 0:
+        # both gates disabled (the defaults): nothing can thin, skip the
+        # per-sample geodesic entirely
+        kept = np.arange(len(times_ms))
+    else:
+        kept = []
+        last_t, last_lat, last_lon = None, None, None
+        for i in range(len(times_ms)):
+            if last_t is not None:
+                if (times_ms[i] - last_t) < min_dt:
+                    continue
+                d = float(geo.distance(lats[i], lons[i], last_lat, last_lon))
+                if d < min_d:
+                    continue
+            kept.append(i)
+            last_t, last_lat, last_lon = times_ms[i], lats[i], lons[i]
+        kept = np.array(kept, dtype=np.int64)
+    if not len(kept):
         return []
-    kept = np.array(kept)
     k_ids, k_t = sample_ids[kept], times_ms[kept]
     k_lat, k_lon, k_azi = lats[kept], lons[kept], azimuths[kept]
 
