@@ -316,6 +316,23 @@ def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
     return paths
 
 
+def path_valid(idx: RoadIndex, path, src, tgt) -> bool:
+    """Path.valid (topology/Path.java:89-119): the edge sequence must
+    start at the source's edge, end at the target's edge, not walk
+    backwards on a single shared edge, and be successor-connected."""
+    se, sf = src
+    te, tf = tgt
+    if not path or path[0] != int(se) or path[-1] != int(te):
+        return False
+    if int(se) == int(te) and sf > tf and len(path) == 1:
+        return False
+    succ_lists = idx.succ_lists()
+    for i in range(len(path) - 1):
+        if path[i + 1] not in succ_lists[path[i]]:
+            return False
+    return True
+
+
 def path_cost(idx: RoadIndex, path, sf, tf, cost_vec):
     """Route cost with linear fractional endpoints (Path.cost,
     topology/Path.java:127-137)."""

@@ -232,3 +232,29 @@ def test_dbrcan_mod_bucketed_cut(spark):
     # > eps) but each dense band clusters
     lab = out.sort_values("id")["cluster_id"].fillna(-1).astype(int).to_numpy()
     assert len({l for l in lab if l >= 0}) >= 3
+
+
+def test_dbcan_bucketed_equals_global_property(spark):
+    """Property sweep: seeded random value sets (mixed dense/sparse,
+    duplicates, negatives) — bucketed dbcan_1d and dbcan_1d_core must
+    equal the global-window forms for every draw and bucket count."""
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        n = int(rng.integers(40, 400))
+        parts = []
+        for _ in range(int(rng.integers(1, 5))):
+            c = rng.uniform(-50, 50)
+            parts.append(c + rng.uniform(0, rng.choice([0.5, 5.0]),
+                                         int(rng.integers(5, n // 2 + 6))))
+        vals = np.round(np.concatenate(parts), 4)
+        if rng.uniform() < 0.5:
+            vals = np.repeat(vals[: max(4, len(vals) // 3)], 3)
+        pdf = pd.DataFrame({"id": np.arange(len(vals)), "value": vals})
+        df = spark.createDataFrame(pdf)
+        eps = float(rng.choice([0.05, 0.3, 1.0]))
+        mp = int(rng.integers(2, 7))
+        nb = int(rng.choice([3, 5, 8]))
+        _cmp_frames(A.dbcan_1d(df, eps, mp, n_buckets=nb),
+                    A.dbcan_1d_global(df, eps, mp))
+        _cmp_frames(A.dbcan_1d_core(df, eps, mp, n_buckets=nb),
+                    A.dbcan_1d_core_global(df, eps, mp))

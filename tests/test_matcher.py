@@ -655,3 +655,31 @@ def test_edge_successors_reference_graph():
     assert succ_ids(1) == {0, 7, 8}       # edge1 -> {0, 7, 8}
     assert succ_ids(7) == set()           # edge8 -> {}
     assert succ_ids(2) == {3}             # edge2 -> {3}
+
+
+def test_path_valid_reference_semantics(idx):
+    """Path.valid (topology/Path.java:89-119): endpoint-edge agreement,
+    the backwards-on-one-edge rejection, and successor connectivity —
+    plus the invariant that every route the Dijkstra returns is valid."""
+    w = idx.cost_vector("time")
+    # every returned route is valid by construction
+    rng = np.random.default_rng(5)
+    n = len(idx.edge_id)
+    for _ in range(100):
+        se, sf = int(rng.integers(0, n)), float(rng.uniform())
+        te, tf = int(rng.integers(0, n)), float(rng.uniform())
+        p = M.route_ssmt(idx, (se, sf), [(te, tf)], w, idx.cost_dist, 1e9)[0]
+        if p is not None:
+            assert M.path_valid(idx, p, (se, sf), (te, tf))
+    # rejections
+    assert not M.path_valid(idx, [], (0, 0.1), (0, 0.2))
+    assert not M.path_valid(idx, [1], (0, 0.1), (1, 0.2))      # wrong start
+    assert not M.path_valid(idx, [0], (0, 0.1), (1, 0.2))      # wrong end
+    assert not M.path_valid(idx, [0], (0, 0.7), (0, 0.2))      # backwards
+    # disconnected pair: two edges that are not successors
+    sl = idx.succ_lists()
+    for a in range(n):
+        b = next((x for x in range(n) if x not in sl[a] and x != a), None)
+        if b is not None:
+            assert not M.path_valid(idx, [a, b], (a, 0.5), (b, 0.5))
+            break
