@@ -687,8 +687,9 @@ _EPOCH_MS_EXPR = ("timestampdiff(MICROSECOND, "
 def q_sample_dup_times(spark, sf_dir):
     """Duplicate-timestamp data-quality gate (the condition
     MatcherServer.java:82-86 rejects on offline requests) as a
-    standalone op: events coarsened to whole seconds so real collisions
-    exist at test scale."""
+    standalone op: events coarsened to whole MINUTES so real collisions
+    exist at test scale (second granularity yields zero duplicates in
+    the generated events)."""
     from .operators.match import dup_times
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     s = ev.select(

@@ -106,7 +106,10 @@ def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
                               1).otherwise(0))
            .withColumn("cluster_seq", F.sum("new_cluster").over(
                w.rowsBetween(Window.unboundedPreceding, 0)))
-           .persist())
+           # localCheckpoint, not persist: the blocks are reclaimed by
+           # the ContextCleaner once the result DF is dropped — persist
+           # here would leak a cache entry per invocation
+           .localCheckpoint(eager=True))
 
     summ = grp.groupBy("_bkt").agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
@@ -344,7 +347,8 @@ def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
                               1).otherwise(0))
            .withColumn("core_seq", F.sum("core_break").over(
                wo.rowsBetween(Window.unboundedPreceding, 0)))
-           .persist())
+           # localCheckpoint over persist: GC-reclaimed, no cache leak
+           .localCheckpoint(eager=True))
 
     summ = seg.groupBy("_bkt").agg(
         F.min(core_val).alias("fc"), F.max(core_val).alias("lc"),

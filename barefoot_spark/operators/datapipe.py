@@ -168,13 +168,19 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
              .select(F.col("l._id").alias("left_id"),
                      F.col("r._id").alias("right_id"))
              .dropDuplicates(["left_id", "right_id"]))
-    # verify stage: attach signatures to the (sparse) candidate pairs
-    # (recomputed — see the persist note above)
+    # verify stage: recompute signatures ONLY for candidate-pair members
+    # (left-semi prune the documents first — without it each join branch
+    # would re-run the UDF over the whole corpus)
+    members = (pairs.select(F.col("left_id").alias("_id"))
+               .union(pairs.select(F.col("right_id").alias("_id")))
+               .distinct())
+    msig = (docs_p.join(members, "_id", "left_semi")
+            .select("_id", udf(F.col("_text")).alias("sig")))
     pairs = (pairs
-             .join(sig.select(F.col("_id").alias("left_id"),
-                              F.col("sig").alias("lsig")), "left_id")
-             .join(sig.select(F.col("_id").alias("right_id"),
-                              F.col("sig").alias("rsig")), "right_id"))
+             .join(msig.select(F.col("_id").alias("left_id"),
+                               F.col("sig").alias("lsig")), "left_id")
+             .join(msig.select(F.col("_id").alias("right_id"),
+                               F.col("sig").alias("rsig")), "right_id"))
     est = F.aggregate(
         F.zip_with("lsig", "rsig", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))
@@ -269,10 +275,14 @@ def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     least one identical block for any pair within the radius."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = documents.select(F.col(id_col).alias("_id"),
-                          simhash_udf()(F.col(text_col)).alias("simhash"))
-    sh = _spread_small(sh).persist()   # one UDF pass feeds both join sides
-    sh.count()                         # eager: avoid the two-branch race
+    # repartition the raw TEXT before attaching the UDF — placed above
+    # the UDF, the exchange would spread already-computed signatures and
+    # leave the hash pass single-task on a 1-partition input
+    docs_p = _spread_small(documents.select(F.col(id_col).alias("_id"),
+                                            F.col(text_col).alias("_text")))
+    sh = docs_p.select("_id", simhash_udf()(F.col("_text")).alias("simhash"))
+    sh = sh.persist()   # one UDF pass feeds both join sides
+    sh.count()          # eager: avoid the two-branch race
     blocks = sh.select("_id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width).bitwiseAND(

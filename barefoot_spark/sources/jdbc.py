@@ -50,11 +50,19 @@ def postgis_roads_reader(spark: SparkSession, host: str, port: int,
                          polygon_wkt: str | None = None,
                          exclusions: dict | None = None,
                          num_partitions: int = 32,
-                         gid_upper: int = 1 << 31):
+                         gid_upper: int = None):
     """Configured (lazy) JDBC reader: call ``.load()`` against a live
     PostGIS to get the roads DataFrame. Partitioned on gid so the scan
     runs num_partitions parallel cursors (PostgresSource opens one;
-    this is the Spark-native scale-out of the same contract)."""
+    this is the Spark-native scale-out of the same contract).
+
+    gid_upper is REQUIRED and must be a realistic bound on max(gid)
+    (e.g. ``SELECT max(gid)`` beforehand): Spark stripes partitions
+    uniformly over [0, gid_upper], so a loose bound like 2^31 would put
+    every real row into the first stripe and serialize the scan."""
+    if gid_upper is None or gid_upper <= 0:
+        raise ValueError("gid_upper must be a realistic max(gid) bound "
+                         "(uniform stripes over [0, gid_upper])")
     return (spark.read.format("jdbc")
             .option("url", f"jdbc:postgresql://{host}:{port}/{database}")
             .option("user", user)

@@ -157,6 +157,8 @@ def sample_frames(videos: DataFrame, every_n: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                if r.n_frames <= 0:
+                    continue   # empty/corrupt container: no frames
                 data = bytes(r.bytes)
                 offs = video_frame_offsets(data)
                 idxs = sorted(set(range(0, r.n_frames, every_n))

@@ -279,5 +279,8 @@ def test_postgis_jdbc_query_pushdown(spark):
     # reader construction is lazy — no connection until .load()
     r = JS.postgis_roads_reader(spark, "db", 5432, "osm", "u", "p",
                                 polygon_wkt="POLYGON((0 0,1 0,1 1,0 0))",
-                                num_partitions=16)
+                                num_partitions=16, gid_upper=1_000_000)
     assert r is not None
+    # a loose/absent gid bound would serialize the scan -> rejected
+    with pytest.raises(ValueError):
+        JS.postgis_roads_reader(spark, "db", 5432, "osm", "u", "p")
