@@ -831,6 +831,46 @@ def q_lsh_ann_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
+def q_cosine_pairs_exact(spark, sf_dir):
+    """Exact embedding near-dup pairs (brute-force over a bounded slice
+    — the parity path for cosine_near_dup's LSH variant, same pattern
+    as ann_topk vs lsh_ann_topk). Pure Catalyst higher-order fns with a
+    DuckDB list_dot_product twin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 300) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    l, r = emb.alias("l"), emb.alias("r")
+    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nl = F.sqrt(F.aggregate(F.transform(F.col("l.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nr = F.sqrt(F.aggregate(F.transform(F.col("r.v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (l.crossJoin(r)
+            .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+            .select(F.col("l.vec_id").alias("left_id"),
+                    F.col("r.vec_id").alias("right_id"),
+                    F.round(dot / (nl * nr), 6).alias("cosine"))
+            .filter(F.col("cosine") >= 0.25))
+
+
+def oracle_cosine_pairs_exact(sf_dir):
+    return """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 300)
+        SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+               round(list_dot_product(l.v, r.v)
+                     / (sqrt(list_dot_product(l.v, l.v))
+                        * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+        FROM e l, e r
+        WHERE l.vec_id < r.vec_id
+          AND round(list_dot_product(l.v, r.v)
+                    / (sqrt(list_dot_product(l.v, l.v))
+                       * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.25
+    """
+
+
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs via LSH self-join + exact cosine
     refine (rows-only: seeded hyperplane buckets)."""
@@ -1095,6 +1135,7 @@ QUERIES = {
     "dbrcan_mod_events": q_dbrcan_mod_events,
     "lsh_ann_topk": q_lsh_ann_topk,
     "cosine_near_dup": q_cosine_near_dup,
+    "cosine_pairs_exact": q_cosine_pairs_exact,
     "x0001_match": q_x0001_match,
     "video_frame_sample": q_video_frame_sample,
     "image_resize": q_image_resize,
@@ -1141,7 +1182,8 @@ ORACLES = {
     "candidate_sequence": oracle_candidate_sequence,
     "dbrcan_mod_events": oracle_dbrcan_mod_events,
     # lsh_ann_topk / cosine_near_dup: seeded hyperplane UDF buckets ->
-    # rows-only (the exact brute-force twin is ann_topk's oracle)
+    # rows-only (exact twins: ann_topk / cosine_pairs_exact)
+    "cosine_pairs_exact": oracle_cosine_pairs_exact,
     "radius_join": oracle_radius_join,
     "radius_join_fast": oracle_radius_join_fast,
     "nearest_join_fast": oracle_nearest_join_fast,
