@@ -847,8 +847,12 @@ def q_cosine_pairs_exact(spark, sf_dir):
                             F.lit(0.0), lambda acc, x: acc + x))
     nr = F.sqrt(F.aggregate(F.transform(F.col("r.v"), lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
+    # nl/nr > 0 guard: a zero-norm vector would divide by zero, where
+    # Spark yields NULL but DuckDB yields NaN (which DuckDB orders above
+    # every value) — the guard keeps both engines identical
     return (l.crossJoin(r)
             .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+            .filter((nl > 0) & (nr > 0))
             .select(F.col("l.vec_id").alias("left_id"),
                     F.col("r.vec_id").alias("right_id"),
                     F.round(dot / (nl * nr), 6).alias("cosine"))
@@ -865,6 +869,8 @@ def oracle_cosine_pairs_exact(sf_dir):
                         * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
         FROM e l, e r
         WHERE l.vec_id < r.vec_id
+          AND list_dot_product(l.v, l.v) > 0
+          AND list_dot_product(r.v, r.v) > 0
           AND round(list_dot_product(l.v, r.v)
                     / (sqrt(list_dot_product(l.v, l.v))
                        * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.25

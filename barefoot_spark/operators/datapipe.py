@@ -158,8 +158,9 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                      F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
                      .alias("bucket"))
             for i in range(bands)])).alias("bb")) \
-        .select("_id", "bb.band", "bb.bucket").persist()
-    bands_df.count()   # eager: else the two self-join branches race
+        .select("_id", "bb.band", "bb.bucket") \
+        .localCheckpoint(eager=True)   # materialized once, GC-reclaimed
+                                       # (persist would leak per call)
     left = bands_df.alias("l")
     right = bands_df.alias("r")
     pairs = (left.join(right, [F.col("l.band") == F.col("r.band"),
@@ -167,7 +168,11 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                                F.col("l._id") < F.col("r._id")])
              .select(F.col("l._id").alias("left_id"),
                      F.col("r._id").alias("right_id"))
-             .dropDuplicates(["left_id", "right_id"]))
+             .dropDuplicates(["left_id", "right_id"])
+             # materialize: the pair subtree feeds members (twice) and
+             # the final join — unmaterialized, Spark re-executes the
+             # band self-join per branch (no cross-exchange CSE)
+             .localCheckpoint(eager=True))
     # verify stage: recompute signatures ONLY for candidate-pair members
     # (left-semi prune the documents first — without it each join branch
     # would re-run the UDF over the whole corpus)
@@ -280,9 +285,9 @@ def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     # leave the hash pass single-task on a 1-partition input
     docs_p = _spread_small(documents.select(F.col(id_col).alias("_id"),
                                             F.col(text_col).alias("_text")))
-    sh = docs_p.select("_id", simhash_udf()(F.col("_text")).alias("simhash"))
-    sh = sh.persist()   # one UDF pass feeds both join sides
-    sh.count()          # eager: avoid the two-branch race
+    sh = docs_p.select("_id", simhash_udf()(F.col("_text")).alias("simhash")) \
+        .localCheckpoint(eager=True)   # one UDF pass feeds both join
+                                       # sides; GC-reclaimed, no leak
     blocks = sh.select("_id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width).bitwiseAND(

@@ -50,7 +50,7 @@ def postgis_roads_reader(spark: SparkSession, host: str, port: int,
                          polygon_wkt: str | None = None,
                          exclusions: dict | None = None,
                          num_partitions: int = 32,
-                         gid_upper: int = None):
+                         gid_upper: int | None = None):
     """Configured (lazy) JDBC reader: call ``.load()`` against a live
     PostGIS to get the roads DataFrame. Partitioned on gid so the scan
     runs num_partitions parallel cursors (PostgresSource opens one;
