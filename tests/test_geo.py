@@ -192,3 +192,26 @@ def test_intersect_geodesics_vectorized_matches_scalar():
             b1la[i], b1lo[i], b2la[i], b2lo[i])
         assert abs(float(slat) - vlat[i]) < 1e-9
         assert abs(float(slon) - vlon[i]) < 1e-9
+
+
+def test_road_invert_reference_wkts():
+    """RoadTest.testInvert (roadmap/RoadTest.java:32-91) verbatim: WKB
+    linestring reversal preserves every coordinate in reversed order for
+    the reference's one-, two- and sixteen-point Munich geometries."""
+    from barefoot_spark import wkbio
+
+    wkts = [
+        "LINESTRING(11.3136273 48.0972002,11.3138846 48.0972999)",
+        "LINESTRING(11.3136273 48.0972002,11.3138846 48.0972999,"
+        "11.3144345 48.097396,11.315083 48.0974541,11.3160925 48.0975102,"
+        "11.3164787 48.0974529,11.3166131 48.0973939,11.31675 48.0972933,"
+        "11.3168554 48.0971529,11.3168846 48.0969582,11.3167847 48.0967698,"
+        "11.3166735 48.0966731,11.316501 48.096578,11.316015 48.0964988,"
+        "11.3153612 48.0964801,11.3141303 48.0965022)",
+    ]
+    for wkt in wkts:
+        coords = wkbio.parse_wkt_linestring(wkt)
+        inv = wkbio.wkb_to_linestring(
+            wkbio.reverse_linestring_wkb(wkbio.linestring_to_wkb(coords)))
+        assert len(inv) == len(coords)
+        np.testing.assert_allclose(inv, coords[::-1], atol=1e-6)

@@ -303,3 +303,61 @@ def test_road_point_json_roundtrip():
     assert int(idx.edge_id[c2.eidx]) == int(idx.edge_id[c.eidx])
     assert int(idx.edge_src[c2.eidx]) == int(idx.edge_src[c.eidx])
     assert int(idx.edge_dst[c2.eidx]) == int(idx.edge_dst[c.eidx])
+
+
+def test_matcher_kstate_json_reference_mirror():
+    """MatcherKStateTest.testJSON (matcher/MatcherKStateTest.java:113-163)
+    verbatim: two forward steps on the 6-road micro map (radius 200),
+    JSON-serialize after each, rehydrate, and compare sample/vector/
+    sequence sizes plus per-candidate filtprob/seqprob to 1e-10 — and
+    the rehydrated state must continue matching identically."""
+    import json
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+    from barefoot_spark.operators.match import MatcherParams, forward_step
+    from barefoot_spark.streaming.online import (
+        OnlineState, prune_chains, state_from_json, state_to_json)
+
+    idx = RoadIndex(R.roads_pdf_from_entries(
+        [(g, s, t, o, w) for g, s, t, o, w in R.MICRO7[:6]]), res=15)
+    params = MatcherParams(max_radius=200.0)
+
+    st = OnlineState()
+    v1 = forward_step(idx, params, [], None, 0, 48.001, 11.001, float("nan"))
+    assert v1
+    st.sequence.append((v1, 0))
+    prune_chains(st.sequence)
+
+    def roundtrip(state):
+        return state_from_json(json.loads(json.dumps(state_to_json(state))))
+
+    other = roundtrip(st)
+    assert len(other.sequence) == len(st.sequence)
+    assert len(other.sequence[-1][0]) == len(v1)
+    ids = {(c.eidx, round(c.frac, 9)) for c in v1}
+    for c in other.sequence[-1][0]:
+        assert (c.eidx, round(c.frac, 9)) in ids
+
+    # step 2 at t=42 (MatcherKStateTest uses sample time 42)
+    v2 = forward_step(idx, params, st.sequence[-1][0], 0, 42,
+                      48.000, 11.010, float("nan"))
+    assert v2
+    st.sequence.append((v2, 42))
+    prune_chains(st.sequence)
+
+    other = roundtrip(st)
+    assert len(other.sequence) == len(st.sequence)
+    for (va, ta), (vb, tb) in zip(st.sequence, other.sequence):
+        assert ta == tb and len(va) == len(vb)
+        for ca, cb in zip(va, vb):
+            assert ca.eidx == cb.eidx
+            assert abs(ca.filtprob - cb.filtprob) < 1e-10
+            assert abs(ca.seqprob - cb.seqprob) < 1e-10
+
+    # continuation equivalence: one more step from original vs rehydrated
+    v3a = forward_step(idx, params, st.sequence[-1][0], 42, 84_000,
+                       48.000, 11.020, float("nan"))
+    v3b = forward_step(idx, params, other.sequence[-1][0], 42, 84_000,
+                       48.000, 11.020, float("nan"))
+    assert [(c.eidx, c.frac, c.filtprob, c.seqprob) for c in v3a] == \
+        [(c.eidx, c.frac, c.filtprob, c.seqprob) for c in v3b]
