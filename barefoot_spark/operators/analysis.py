@@ -299,7 +299,6 @@ def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
                             value_col: str, id_col: str,
                             bounds: list[float]) -> DataFrame:
     spark = values.sparkSession
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
     nb = len(bounds)
 
     base = values.select(id_col, value_col).withColumn(
@@ -308,12 +307,29 @@ def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
     # ghost replication: a row within eps of its bucket's lower/upper
     # boundary is visible to the adjacent bucket's eps-range windows.
     # Boundaries are >= 2*eps apart, so one hop suffices.
-    low_b = F.element_at(arr, F.col("_bkt"))          # defined for _bkt>=1
-    high_b = F.element_at(arr, F.col("_bkt") + 1)     # defined for _bkt<nb
+    #
+    # The gate thresholds MUST be computed in the same IEEE op order as
+    # the consumers they feed — the RANGE frame evaluates `v - eps` /
+    # `v + eps` on the home value, NOT `boundary - value`.  (The old
+    # form `high_b - value <= eps` dropped donors sitting exactly eps
+    # below a boundary: fl(1.56-1.55)=0.010000000000000231 > 0.01 while
+    # the frame's fl(1.56-0.01)=1.5499999999999998 <= 1.55 — the
+    # round-2 red dbcan_core_events row.)  Thresholds are additionally
+    # widened by one ulp (nextafter) so the gate is at-least-as-
+    # permissive as every home row's frame bound for ANY v >= boundary;
+    # over-replication is harmless because ghosts only enter counts /
+    # attachment through the exact same comparisons the global
+    # computation uses.
+    thr_up = [float(np.nextafter(np.float64(b) - np.float64(eps), -np.inf))
+              for b in bounds]
+    thr_dn = [float(np.nextafter(np.float64(b) + np.float64(eps), np.inf))
+              for b in bounds]
+    arr_up = F.array(*[F.lit(t) for t in thr_up])
+    arr_dn = F.array(*[F.lit(t) for t in thr_dn])
     ghost_down = (F.col("_bkt") >= 1) & \
-        (F.col(value_col) - low_b <= eps)
+        (F.col(value_col) <= F.element_at(arr_dn, F.col("_bkt")))
     ghost_up = (F.col("_bkt") <= nb - 1) & \
-        (high_b - F.col(value_col) <= eps)
+        (F.col(value_col) >= F.element_at(arr_up, F.col("_bkt") + 1))
 
     def with_ghosts(df):
         home = df.withColumn("_ghost", F.lit(False))

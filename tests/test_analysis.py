@@ -258,3 +258,71 @@ def test_dbcan_bucketed_equals_global_property(spark):
                     A.dbcan_1d_global(df, eps, mp))
         _cmp_frames(A.dbcan_1d_core(df, eps, mp, n_buckets=nb),
                     A.dbcan_1d_core_global(df, eps, mp))
+
+def test_dbcan_core_ghost_gate_eps_boundary(spark):
+    """Round-2 driver red row, reduced: duplicate values exactly eps
+    apart with a bucket boundary ON a lattice value.  In IEEE doubles
+    1.56 - 1.55 = 0.010000000000000231 > 0.01, while the RANGE frame's
+    1.56 - 0.01 = 1.5499999999999998 <= 1.55 — a boundary-eps gate
+    written as `high_b - value <= eps` therefore fails to replicate the
+    1.55 donors and the 1.56 home rows lose core status.  The gates must
+    use the frame's op order (threshold = boundary -/+ eps)."""
+    vals = [1.53, 1.54, 1.55, 1.55, 1.56, 1.56, 1.57]
+    pdf = pd.DataFrame({"id": np.arange(len(vals)), "value": vals})
+    df = spark.createDataFrame(pdf)
+    # explicit boundary at 1.56: the exact adversarial placement
+    got = A._dbcan_1d_core_bucketed(df, eps=0.01, min_pts=5,
+                                    value_col="value", id_col="id",
+                                    bounds=[1.56])
+    _cmp_frames(got, A.dbcan_1d_core_global(df, eps=0.01, min_pts=5))
+
+
+def test_dbcan_bucketed_eps_lattice_sweep(spark):
+    """Eps-lattice property: values on an exact 0.01 lattice (multiples
+    of 0.01 — maximally adversarial for binary floats, every quantile
+    boundary lands exactly eps from neighbors), bucketed == global for
+    dbcan_1d / dbcan_1d_core across bucket counts {2, 8, 32, 64}.
+    The round-2 suite missed the ghost-gate bug because bucket count
+    followed defaultParallelism and never placed a boundary
+    eps-adjacent to data."""
+    rng = np.random.default_rng(42)
+    # dense lattice runs (consecutive multiples of eps) + sparse gaps:
+    # most values have a neighbor at exactly eps distance
+    parts = []
+    for c in rng.integers(0, 4000, 12):
+        n = int(rng.integers(5, 60))
+        parts.append((c + np.arange(n)) / 100.0)
+    vals = np.concatenate(parts)
+    # duplicates: multiplicity matters for min_pts counts
+    vals = np.concatenate([vals, rng.choice(vals, 200)])
+    pdf = pd.DataFrame({"id": np.arange(len(vals)), "value": vals})
+    df = spark.createDataFrame(pdf)
+    g1 = A.dbcan_1d_global(df, eps=0.01, min_pts=3)
+    g2 = A.dbcan_1d_core_global(df, eps=0.01, min_pts=5)
+    for nb in (2, 8, 32, 64):
+        _cmp_frames(A.dbcan_1d(df, eps=0.01, min_pts=3, n_buckets=nb), g1)
+        _cmp_frames(A.dbcan_1d_core(df, eps=0.01, min_pts=5, n_buckets=nb),
+                    g2)
+
+
+def test_dbrcan_mod_eps_lattice_sweep(spark):
+    """Eps-lattice sweep for the modular path: bucketed dbrcan_mod must
+    equal its single-bucket (global-shaped) form on lattice residues
+    across bucket counts."""
+    rng = np.random.default_rng(17)
+    parts = []
+    for c in rng.integers(0, 2300, 8):
+        parts.append((c + np.arange(int(rng.integers(4, 40)))) / 100.0)
+    vals = np.concatenate(parts) % 24.0
+    pdf = pd.DataFrame({"id": np.arange(len(vals)), "value": vals})
+    df = spark.createDataFrame(pdf)
+
+    def canon(out):
+        p = out.toPandas().sort_values("id").reset_index(drop=True)
+        return p["cluster_id"].fillna(-1).astype(int).tolist()
+
+    base = canon(A.dbrcan_mod(df, modulus=24.0, eps=0.01, min_pts=3,
+                              n_buckets=1))
+    for nb in (2, 8, 32):
+        assert canon(A.dbrcan_mod(df, modulus=24.0, eps=0.01, min_pts=3,
+                                  n_buckets=nb)) == base
