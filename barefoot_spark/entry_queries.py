@@ -730,7 +730,7 @@ def oracle_subsample_traces(sf_dir):
                      max(time) OVER (PARTITION BY trace_id) AS t1
               FROM s)
         SELECT trace_id, event_id, time FROM m
-        WHERE (time - t0) % 10000 = 0 OR time = t1
+        WHERE (time // 1000 - t0 // 1000) % 10 = 0 OR time = t1
     """
 
 

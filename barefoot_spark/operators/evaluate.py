@@ -63,11 +63,18 @@ def candidates_to_sequence(matched: DataFrame) -> DataFrame:
 
 def subsample(samples: DataFrame, interval_s: int) -> DataFrame:
     """Keep every interval-th second plus the first and last sample per
-    trace (Benchmark.subsample, matcher/Benchmark.java:165-179)."""
+    trace (Benchmark.subsample, matcher/Benchmark.java:165-179).
+
+    The reference truncates each epoch-ms timestamp to whole SECONDS
+    (``time() / 1000`` in Java long division) before the diff/modulo —
+    so for non-second-aligned times the kept set is defined by the
+    second-granular diff, not the millisecond diff. ``div`` mirrors
+    Java's truncating division (times are positive)."""
     w = Window.partitionBy("trace_id")
+    sec_diff = F.expr("time div 1000") - F.expr("__t0 div 1000")
     return (samples
             .withColumn("__t0", F.min("time").over(w))
             .withColumn("__t1", F.max("time").over(w))
-            .filter(((F.col("time") - F.col("__t0")) % (interval_s * 1000) == 0)
+            .filter((sec_diff % interval_s == 0)
                     | (F.col("time") == F.col("__t1")))
             .drop("__t0", "__t1"))

@@ -237,8 +237,20 @@ def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
     marks from expanded predecessors exactly where the uncached search
     would push them, and applies the same bound-break rule (ties between
     equal-cost reach and edge marks resolve reach-first, matching the
-    push-order ctr for the tf==1 case; other exact-float ties are
-    JVM-HashSet-grade nondeterminism in the reference too)."""
+    push-order ctr for the tf==1 case).
+
+    Accepted nondeterminism (documented, not a defect): the cached form
+    accumulates RELATIVE costs shifted by K1/K2 while route_ssmt
+    accumulates absolute costs, and computes reach costs as
+    ``base_c + c(te)*tf`` vs ``(base_c + c(te)) - c(te)*(1-tf)``.
+    Whenever all inputs are exactly representable (integer costs, dyadic
+    fractions) both orders are IEEE-exact and the results are
+    bit-identical even on dense cost ties and marks exactly at bound_max
+    (proven by test_route_cache_exact_ties_and_bound). For inexact
+    inputs the two orders can differ by ulps, so an exact-float tie or a
+    bound sitting within one ulp of a mark may resolve differently —
+    the same class of tie nondeterminism the reference exhibits through
+    JVM HashSet iteration order (Dijkstra.java target-set ordering)."""
     se, sf = src
     se = int(se)
     tree = cache.get(se)

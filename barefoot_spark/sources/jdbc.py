@@ -23,13 +23,25 @@ from pyspark.sql import SparkSession
 def postgis_roads_query(table: str = "bfmap_ways",
                         polygon_wkt: str | None = None,
                         exclusions: dict | None = None) -> str:
-    """The pushdown subquery (PostGISReader.java:103-129): geometry as
-    WKB, bbox-intersect polygon filter, per-class exclusions of the
-    form {class_id: None (drop class) | max_speed (drop if slower)}."""
+    """The pushdown subquery (PostGISReader.java:102-129): geometry as
+    WKB, exact polygon filter, per-class exclusions of the form
+    {class_id: None (drop class) | max_speed (drop if slower)}.
+
+    The polygon predicate is the reference's exact
+    ``ST_Contains(poly, geom) OR ST_Overlaps(poly, geom)``
+    (PostGISReader.java:102-105) — NOT a bare bbox intersection, which
+    would load a superset (any road whose bounding box touches the
+    polygon) and make downstream matches diverge from the reference.
+    The ``geom && poly`` bbox test is kept only as an ANDed index
+    prefilter so PostGIS hits the GiST index before evaluating the
+    exact predicates (Contains/Overlaps imply bbox intersection, so
+    the conjunction is semantically identical to the reference's)."""
     preds = []
     if polygon_wkt is not None:
+        poly = f"ST_GeomFromText('{polygon_wkt}', 4326)"
         preds.append(
-            f"geom && ST_GeomFromText('{polygon_wkt}', 4326)")
+            f"(geom && {poly} AND (ST_Contains({poly},geom) "
+            f"OR ST_Overlaps({poly},geom)))")
     for cls, speed in (exclusions or {}).items():
         if speed is None:
             preds.append(f"class_id <> {int(cls)}")

@@ -50,6 +50,29 @@ def test_subsample(spark):
     assert sorted(out2["time"]) == [0, 3000, 3500]
 
 
+def test_subsample_non_second_aligned(spark):
+    """Benchmark.java:170-177 truncates each timestamp to whole seconds
+    (long division) BEFORE the diff/modulo — for non-second-aligned
+    epoch-ms times the kept set must match a direct port of the Java
+    loop, not a millisecond-diff modulo."""
+    times = [137, 1137, 2500, 3137, 4999, 6137, 7000, 9137, 10500]
+
+    def java_subsample(ts, interval):
+        keep = [ts[0]]
+        start = ts[0] // 1000
+        for t in ts[1:-1]:
+            if (t // 1000 - start) % interval == 0:
+                keep.append(t)
+        keep.append(ts[-1])
+        return sorted(set(keep))
+
+    pdf = pd.DataFrame({"trace_id": ["t"] * len(times), "time": times})
+    for iv in (2, 3, 5):
+        out = E.subsample(spark.createDataFrame(pdf), interval_s=iv) \
+            .toPandas()
+        assert sorted(out["time"]) == java_subsample(times, iv), iv
+
+
 def test_online_state_json_roundtrip():
     """Serialize mid-stream, restore in a fresh matcher, continue —
     final sequence equals the uninterrupted run (the KState

@@ -493,6 +493,37 @@ def test_route_cache_equivalence_random():
     assert n_q == 300 and len(cache) > 0
 
 
+def test_route_cache_exact_ties_and_bound():
+    """Constructed tie/bound-boundary cases the randomized sweep cannot
+    sample: integer cost vectors and dyadic fractions make every cost /
+    bound computation IEEE-exact in BOTH the cached (relative, K-shift)
+    and uncached (absolute) accumulation orders, so unit-cost grids —
+    maximal equal-cost route ties — and bounds EXACTLY equal to a
+    mark's bound must produce bit-identical results (the bound break is
+    strict `>`, so an exactly-at-bound mark is processed in both)."""
+    from barefoot_spark import roads as R
+    from barefoot_spark.index import RoadIndex
+
+    idx = RoadIndex(R.grid_pdf(6, seed=3), res=15)
+    n = len(idx.edge_id)
+    rng = np.random.default_rng(5)
+    fracs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    for cost in (np.ones(n), rng.integers(1, 5, n).astype(np.float64)):
+        bvec = cost
+        cache: dict = {}
+        for trial in range(120):
+            se = int(rng.integers(0, n))
+            sf = float(rng.choice(fracs))
+            targets = [(int(rng.integers(0, n)), float(rng.choice(fracs)))
+                       for _ in range(int(rng.integers(1, 6)))]
+            # bound exactly on the integer lattice of achievable bounds
+            bound = float(rng.integers(0, 12))
+            want = M.route_ssmt(idx, (se, sf), targets, cost, bvec, bound)
+            got = M.route_ssmt_cached(idx, (se, sf), targets, cost, bvec,
+                                      bound, cache)
+            assert got == want, (se, sf, targets, bound)
+
+
 def test_match_trace_route_cache_equivalence():
     """match_trace with a shared route cache emits exactly the rows the
     uncached path emits (same estimates, same routes, same probs)."""

@@ -271,7 +271,11 @@ def test_postgis_jdbc_query_pushdown(spark):
     q = JS.postgis_roads_query(
         "bfmap_ways", polygon_wkt="POLYGON((11 48, 12 48, 12 49, 11 48))",
         exclusions={117: None, 115: 60})
-    assert "geom && ST_GeomFromText('POLYGON((11 48" in q
+    poly = "ST_GeomFromText('POLYGON((11 48, 12 48, 12 49, 11 48))', 4326)"
+    # exact predicate of PostGISReader.java:102-105 (Contains OR
+    # Overlaps), with the bbox && only as an ANDed index prefilter
+    assert f"ST_Contains({poly},geom) OR ST_Overlaps({poly},geom)" in q
+    assert f"geom && {poly} AND" in q
     assert "class_id <> 117" in q
     assert "NOT (class_id = 115 AND maxspeed_forward < 60)" in q
     assert "ST_AsBinary(geom)" in q          # WKB, same as the parquet path
