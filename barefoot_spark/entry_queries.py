@@ -1028,13 +1028,184 @@ def oracle_dbcan_core_events(sf_dir):
 
 def q_dbrcan_function(spark, sf_dir):
     """DBRCAN log-density step functions (DBRCAN.java:395-477) per user
-    bucket over the events value residue ring — applyInPandas kernel
-    (hierarchical clustering loop is not SQL-expressible -> rows-only)."""
+    bucket over the events value residue ring — applyInPandas kernel.
+    Oracle-checked: the minimum-doubling loop is NOT recursive in
+    disguise — cluster existence is monotone decreasing in `minimum`,
+    so iterating a fixed geometric grid m=2^j and keeping levels with
+    at least one core is exactly the reference loop, which makes the
+    whole hierarchy expressible as plain DuckDB window SQL."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
         .select((F.col("user_id") % 8).alias("group_id"), "value")
     out = A.dbrcan_function_df(ev, modulo=1.0, eps=0.02, buffer=0.0)
     return out.select("group_id", F.round("x", 9).alias("x"), "minimum") \
         .orderBy("group_id", "x", F.desc("minimum"))
+
+
+def oracle_dbrcan_function(sf_dir):
+    """DuckDB twin of q_dbrcan_function (modulo=1, eps=0.02, buffer=0,
+    8 user buckets): every float expression mirrors the numpy kernel's
+    IEEE op order (residue wash fmod(fmod(v,1)+1,1), tolerance
+    eps+1e-10, gap record-scan). Two documented approximations, both
+    sub-tolerance for real data: DuckDB round() is half-away vs
+    numpy/python half-even (differs only on exact half-ulp lattice
+    values), and the gap record-scan is expressed by its closed form
+    (first gap within 1e-10 of the eligible max), which deviates only
+    when 3+ gaps chain within 1e-10 of each other."""
+    eps, eps10 = 0.02, 1e-10
+    tol = repr(eps + eps10)
+    e10, e = repr(eps10), repr(eps)
+    return f"""
+WITH src AS (
+    SELECT user_id % 8 AS g, value AS v FROM events
+), res AS (   -- np.mod(np.mod(v,M)+M,M) for positive v == fmod(fmod(v,1)+1,1)
+    SELECT g, round(fmod(fmod(v, 1.0) + 1.0, 1.0), 12) AS r FROM src
+), u AS (     -- unique rounded residues with multiplicity
+    SELECT g, r, count(*) AS cnt FROM res GROUP BY g, r
+), ext AS (   -- 3-copy ring unroll for neighbor counting
+    SELECT g, r + s AS re, cnt FROM u, (VALUES (0.0), (1.0), (2.0)) t(s)
+), ne AS (    -- eps-neighbor count (inclusive, eps+1e-10 tolerant)
+    SELECT a.g, a.r,
+           (SELECT sum(b.cnt) FROM ext b WHERE b.g = a.g
+             AND b.re >= (a.r + 1.0) - {tol}
+             AND b.re <= (a.r + 1.0) + {tol}) AS n_eps
+    FROM u a
+), lvl AS (   -- doubling levels m = 2^j with at least one core in the group
+    SELECT DISTINCT g, m FROM ne,
+         (SELECT power(2, j)::BIGINT AS m
+          FROM (SELECT unnest(generate_series(0, 20)) AS j)) lv
+    WHERE n_eps >= m
+), core AS (
+    SELECT l.g, l.m, n.r FROM lvl l JOIN ne n ON n.g = l.g
+    WHERE n.n_eps >= l.m
+), chains0 AS ( -- per-level core chain breaks: ring gap > tol
+    SELECT g, m, r,
+           CASE WHEN r - lag(r) OVER w > {tol} THEN 1 ELSE 0 END AS brk,
+           min(r) OVER (PARTITION BY g, m) AS cmin,
+           max(r) OVER (PARTITION BY g, m) AS cmax
+    FROM core WINDOW w AS (PARTITION BY g, m ORDER BY r)
+), chains AS (
+    SELECT g, m, r, cmin, cmax,
+           1 + sum(brk) OVER (PARTITION BY g, m ORDER BY r
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS chain_raw
+    FROM chains0
+), corelab AS ( -- wrap merge: last chain joins chain 1 when the ring closes
+    SELECT g, m, r,
+           CASE WHEN chain_raw = max(chain_raw) OVER (PARTITION BY g, m)
+                 AND max(chain_raw) OVER (PARTITION BY g, m) > 1
+                 AND (cmin + 1.0) - cmax <= {tol}
+                THEN 1 ELSE chain_raw END AS lab
+    FROM chains
+), stream AS ( -- cores (3 ring copies) + non-core residues, one sorted stream
+    SELECT c.g, c.m, c.r + s.s AS pos, c.lab, NULL::DOUBLE AS br
+    FROM corelab c, (VALUES (0.0), (1.0), (2.0)) s(s)
+    UNION ALL
+    SELECT l.g, l.m, n.r + 1.0 AS pos, NULL, n.r
+    FROM lvl l JOIN ne n ON n.g = l.g WHERE n.n_eps < l.m
+), att AS (   -- nearest-core border attachment (tie dl<=dr -> left)
+    SELECT g, m, pos, br,
+           last_value(CASE WHEN br IS NULL THEN pos END IGNORE NULLS)
+               OVER wp AS lre,
+           last_value(CASE WHEN br IS NULL THEN lab END IGNORE NULLS)
+               OVER wp AS llab,
+           first_value(CASE WHEN br IS NULL THEN pos END IGNORE NULLS)
+               OVER wf AS rre,
+           first_value(CASE WHEN br IS NULL THEN lab END IGNORE NULLS)
+               OVER wf AS rlab
+    FROM stream
+    WINDOW wp AS (PARTITION BY g, m ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wf AS (PARTITION BY g, m ORDER BY pos
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), members AS ( -- cluster member residues: home cores + attached borders
+    SELECT g, m, lab, r FROM corelab
+    UNION ALL
+    SELECT g, m,
+           CASE WHEN (pos - lre) <= {tol}
+                 AND ((rre - pos) > {tol} OR (pos - lre) <= (rre - pos))
+                THEN llab
+                WHEN (rre - pos) <= {tol} THEN rlab END AS lab,
+           br AS r
+    FROM att
+    WHERE br IS NOT NULL
+      AND ((pos - lre) <= {tol} OR (rre - pos) <= {tol})
+), memlab AS (SELECT * FROM members WHERE lab IS NOT NULL
+), gaps AS (  -- ring-order gaps inside each cluster
+    SELECT g, m, lab, r,
+           row_number() OVER w AS i,
+           count(*) OVER (PARTITION BY g, m, lab) AS n_res,
+           coalesce(lag(r) OVER w, max(r) OVER (PARTITION BY g, m, lab))
+               AS prev,
+           CASE WHEN lag(r) OVER w IS NULL
+                THEN (r + 1.0) - max(r) OVER (PARTITION BY g, m, lab)
+                ELSE r - lag(r) OVER w END AS gap
+    FROM memlab WINDOW w AS (PARTITION BY g, m, lab ORDER BY r)
+), pick AS (  -- first maximal eligible gap (record-scan closed form)
+    SELECT g, m, lab, r, prev, i, n_res,
+           (gap - {e}) >= {e10} AS elig,
+           max(CASE WHEN (gap - {e}) >= {e10} THEN gap END)
+               OVER (PARTITION BY g, m, lab) AS dmax,
+           gap
+    FROM gaps
+), bounds AS ( -- per-cluster selected gap index, or covering (none eligible)
+    SELECT g, m, lab, n_res,
+           min(CASE WHEN elig AND gap >= dmax - {e10} THEN i END) AS sel_i
+    FROM pick GROUP BY g, m, lab, n_res
+), bsel AS (
+    SELECT b.g, b.m, b.lab, b.n_res, b.sel_i,
+           CASE WHEN b.n_res = 1 THEN (SELECT round(p.r * 1e10) / 1e10
+                                       FROM pick p WHERE p.g = b.g
+                                        AND p.m = b.m AND p.lab = b.lab)
+                WHEN b.sel_i IS NOT NULL THEN
+                    (SELECT round(p.r * 1e10) / 1e10 FROM pick p
+                     WHERE p.g = b.g AND p.m = b.m AND p.lab = b.lab
+                       AND p.i = b.sel_i)
+           END AS s,
+           CASE WHEN b.n_res = 1 THEN (SELECT round(p.r * 1e10) / 1e10
+                                       FROM pick p WHERE p.g = b.g
+                                        AND p.m = b.m AND p.lab = b.lab)
+                WHEN b.sel_i IS NOT NULL THEN
+                    (SELECT round(p.prev * 1e10) / 1e10 FROM pick p
+                     WHERE p.g = b.g AND p.m = b.m AND p.lab = b.lab
+                       AND p.i = b.sel_i)
+           END AS e
+    FROM bounds b
+), floors AS ( -- covering clusters raise the group's floor
+    SELECT s.g, coalesce(max(CASE WHEN b.n_res > 1 AND b.sel_i IS NULL
+                                  THEN b.m END), 0) AS floor
+    FROM (SELECT DISTINCT g FROM src) s
+    LEFT JOIN bsel b ON b.g = s.g GROUP BY s.g
+), starts AS (
+    SELECT g, round(s, 10) AS x, max(m) AS v FROM bsel
+    WHERE s IS NOT NULL GROUP BY g, round(s, 10)
+), ends AS (
+    SELECT g, round(e, 10) AS x, min(m // 2) AS v FROM bsel
+    WHERE e IS NOT NULL GROUP BY g, round(e, 10)
+), fn AS (
+    SELECT st.g, st.x, greatest(f.floor, st.v) AS minimum
+    FROM starts st JOIN floors f ON f.g = st.g
+    UNION ALL
+    SELECT en.g, en.x, greatest(f.floor, en.v) AS minimum
+    FROM ends en JOIN floors f ON f.g = en.g
+), agg AS (
+    SELECT g, min(x) AS x0, max(x) AS x1
+    FROM fn GROUP BY g
+), lastrow AS (  -- minimum of the LAST row after sort by (x, -minimum)
+    SELECT f.g, min(f.minimum) AS last_min
+    FROM fn f JOIN agg a ON a.g = f.g AND f.x = a.x1 GROUP BY f.g
+), zeros AS (    -- prepend (0, .) when the smallest x is not ~0
+    SELECT fl.g, 0.0 AS x,
+           CASE WHEN a.g IS NULL THEN fl.floor
+                ELSE greatest(fl.floor, lr.last_min) END AS minimum
+    FROM floors fl
+    LEFT JOIN agg a ON a.g = fl.g
+    LEFT JOIN lastrow lr ON lr.g = fl.g
+    WHERE a.g IS NULL OR abs(a.x0) >= {e10}
+)
+SELECT g AS group_id, round(x, 9) AS x, CAST(minimum AS INTEGER) AS minimum
+FROM (SELECT * FROM fn UNION ALL SELECT * FROM zeros)
+ORDER BY group_id, x, minimum DESC
+    """
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -1098,13 +1269,48 @@ def oracle_jaccard_pairs(sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Winnowing fingerprints (min rolling-hash per sliding window) —
-    seeded signature kernel, rows-only."""
+    """Winnowing fingerprints (min rolling-hash per sliding window),
+    exploded to (doc_id, fp) rows so every fingerprint VALUE is
+    oracle-checked — the DuckDB twin recomputes the k-gram polynomial
+    hash in HUGEINT with an explicit mod-2^64 reduction (uint64
+    wraparound is congruence-preserved: per-term wrap == whole-sum
+    wrap) and the same full-window sliding minimum."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = DP.doc_fingerprint(docs)
-    return out.select("doc_id", F.size("fingerprint").alias("n_grams"),
-                      F.xxhash64(F.col("fingerprint").cast("string"))
-                      .alias("fp_hash")).orderBy("doc_id")
+    return out.select("doc_id",
+                      F.explode("fingerprint").alias("fp")).distinct()
+
+
+def oracle_doc_fingerprint(sf_dir):
+    k, w = 8, 16
+    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
+        for j, m in enumerate(mult))
+    return f"""
+        WITH pos AS (
+            SELECT d.doc_id, d.text, g.i
+            FROM documents d,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, length(d.text) - {k - 1})) AS i) g
+        ), h AS (
+            SELECT doc_id, i,
+                   ({terms}) % 18446744073709551616::HUGEINT AS hv,
+                   max(i) OVER (PARTITION BY doc_id) AS max_i
+            FROM pos
+        ), wm AS (
+            SELECT doc_id, i, max_i,
+                   min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                       AS wmin
+            FROM h
+        )
+        SELECT DISTINCT doc_id,
+               CAST(CASE WHEN wmin >= 9223372036854775808::HUGEINT
+                         THEN wmin - 18446744073709551616::HUGEINT
+                         ELSE wmin END AS BIGINT) AS fp
+        FROM wm WHERE i <= max_i - {w - 1}
+    """
 
 
 def q_image_features(spark, sf_dir):
@@ -1210,6 +1416,8 @@ ORACLES = {
     "dbcan_events": oracle_dbcan_events,
     "dbcan_core_events": oracle_dbcan_core_events,
     "jaccard_pairs": oracle_jaccard_pairs,
+    "doc_fingerprint": oracle_doc_fingerprint,
+    "dbrcan_function": oracle_dbrcan_function,
     # viterbi_match / minhash_dedup / simhash_dedup / image_verify:
     # non-SQL-expressible (stateful kernel or seeded signature UDFs) ->
     # rows-only check per the driver contract
