@@ -121,3 +121,31 @@ class StageRunner:
         row = m.agg(F.expr("bit_xor(checksum)").alias("c"),
                     F.sum("output_rows").alias("n")).collect()[0]
         return (int(row["c"] or 0), int(row["n"] or 0))
+
+
+def materialize(df: DataFrame, mode: str = "local",
+                runner: "StageRunner | None" = None,
+                stage: str | None = None) -> DataFrame:
+    """Materialization strategy seam for shared subtrees (the dedup
+    signature/pair tables and the DBCAN per-bucket segmentation).
+
+    mode="local": eager ``localCheckpoint`` — truncates lineage onto
+    executor-local blocks. Optimal for a single JVM (blocks are
+    GC-reclaimed, no cache-entry leak), but NOT fault-tolerant on a
+    cluster: losing an executor after the checkpoint kills the job
+    because the truncated lineage cannot recompute the lost blocks.
+
+    mode="reliable": parquet commit through ``StageRunner.run_stage``
+    — the production setting. Survives executor loss (any task re-reads
+    the committed files), records per-partition lineage + metrics, and
+    a re-run of the same stage name resumes by reading the committed
+    output instead of recomputing.
+    """
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        if runner is None or stage is None:
+            raise ValueError(
+                "materialize(mode='reliable') needs runner= and stage=")
+        return runner.run_stage(stage, df)
+    raise ValueError(f"unknown materialize mode {mode!r}")

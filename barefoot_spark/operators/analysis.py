@@ -75,7 +75,8 @@ def dbcan_1d_global(values: DataFrame, eps: float, min_pts: int,
 
 def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
              value_col="value", id_col="id",
-             n_buckets: int | None = None) -> DataFrame:
+             n_buckets: int | None = None,
+             materialize: str = "local", ckpt_runner=None) -> DataFrame:
     """1-D density clustering: maximal runs of sorted values where each
     gap <= eps; clusters need >= min_pts members (DBCAN semantics:
     epsilon-neighborhood density over ordered doubles). Returns
@@ -105,11 +106,12 @@ def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
                        F.when(F.col("gap").isNull() | (F.col("gap") > eps),
                               1).otherwise(0))
            .withColumn("cluster_seq", F.sum("new_cluster").over(
-               w.rowsBetween(Window.unboundedPreceding, 0)))
-           # localCheckpoint, not persist: the blocks are reclaimed by
-           # the ContextCleaner once the result DF is dropped — persist
-           # here would leak a cache entry per invocation
-           .localCheckpoint(eager=True))
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    # local mode: localCheckpoint, not persist — blocks are reclaimed by
+    # the ContextCleaner once the result DF is dropped (persist would
+    # leak a cache entry per invocation); reliable mode: parquet commit
+    from .. import ckpt as CK
+    grp = CK.materialize(grp, materialize, ckpt_runner, "dbcan_seg")
 
     summ = grp.groupBy("_bkt").agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
@@ -269,7 +271,8 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
 
 def dbcan_1d_core(values: DataFrame, eps: float, min_pts: int,
                   value_col="value", id_col="id",
-                  n_buckets: int | None = None) -> DataFrame:
+                  n_buckets: int | None = None,
+                  materialize: str = "local", ckpt_runner=None) -> DataFrame:
     """Exact-DBSCAN 1-D clustering (the reference's DBCAN semantics,
     analysis/DBCAN.java:48-100): an element is *core* iff >= min_pts
     elements (incl. itself, with multiplicity) lie within [v-eps, v+eps];
@@ -292,12 +295,14 @@ def dbcan_1d_core(values: DataFrame, eps: float, min_pts: int,
     if not bounds:
         return dbcan_1d_core_global(values, eps, min_pts, value_col, id_col)
     return _dbcan_1d_core_bucketed(values, eps, min_pts, value_col, id_col,
-                                   bounds)
+                                   bounds, materialize, ckpt_runner)
 
 
 def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
                             value_col: str, id_col: str,
-                            bounds: list[float]) -> DataFrame:
+                            bounds: list[float],
+                            materialize: str = "local",
+                            ckpt_runner=None) -> DataFrame:
     spark = values.sparkSession
     nb = len(bounds)
 
@@ -362,9 +367,11 @@ def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
                                (F.col(value_col) - F.col("prev_core") > eps)),
                               1).otherwise(0))
            .withColumn("core_seq", F.sum("core_break").over(
-               wo.rowsBetween(Window.unboundedPreceding, 0)))
-           # localCheckpoint over persist: GC-reclaimed, no cache leak
-           .localCheckpoint(eager=True))
+               wo.rowsBetween(Window.unboundedPreceding, 0))))
+    # local: localCheckpoint (GC-reclaimed, no cache leak);
+    # reliable: resumable parquet commit for cluster fault tolerance
+    from .. import ckpt as CK
+    seg = CK.materialize(seg, materialize, ckpt_runner, "dbcan_core_seg")
 
     summ = seg.groupBy("_bkt").agg(
         F.min(core_val).alias("fc"), F.max(core_val).alias("lc"),

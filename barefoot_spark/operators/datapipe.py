@@ -131,7 +131,8 @@ def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42
 
 def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                   num_perm: int = 64, bands: int = 16,
-                  jaccard_threshold: float = 0.6, shingle_k: int = 5) -> DataFrame:
+                  jaccard_threshold: float = 0.6, shingle_k: int = 5,
+                  materialize: str = "local", ckpt_runner=None) -> DataFrame:
     """MinHash -> banded LSH buckets -> candidate pairs -> exact
     signature-Jaccard verify. Returns (left_id, right_id, est_jaccard).
 
@@ -140,7 +141,17 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     pair dedup. Bucket hash keys are high-entropy so AQE skew handling
     rarely triggers; a degenerate bucket (all-identical docs) is capped
     by exact-dedup running first in a real pipeline.
+
+    materialize="local" (single-JVM default) truncates the shared
+    band/pair subtrees with localCheckpoint; "reliable" (+ckpt_runner)
+    commits them as resumable parquet stages — the fault-tolerant
+    setting for cluster runs (see ckpt.materialize).
     """
+    from .. import ckpt as CK
+
+    def _mat(df, stage):
+        return CK.materialize(df, materialize, ckpt_runner, stage)
+
     rows_per_band = num_perm // bands
     udf = minhash_signature_udf(num_perm, shingle_k)
     docs_p = _spread_small(documents.select(F.col(id_col).alias("_id"),
@@ -158,9 +169,8 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                      F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
                      .alias("bucket"))
             for i in range(bands)])).alias("bb")) \
-        .select("_id", "bb.band", "bb.bucket") \
-        .localCheckpoint(eager=True)   # materialized once, GC-reclaimed
-                                       # (persist would leak per call)
+        .select("_id", "bb.band", "bb.bucket")
+    bands_df = _mat(bands_df, "minhash_bands")  # materialized once
     left = bands_df.alias("l")
     right = bands_df.alias("r")
     pairs = (left.join(right, [F.col("l.band") == F.col("r.band"),
@@ -168,11 +178,11 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                                F.col("l._id") < F.col("r._id")])
              .select(F.col("l._id").alias("left_id"),
                      F.col("r._id").alias("right_id"))
-             .dropDuplicates(["left_id", "right_id"])
-             # materialize: the pair subtree feeds members (twice) and
-             # the final join — unmaterialized, Spark re-executes the
-             # band self-join per branch (no cross-exchange CSE)
-             .localCheckpoint(eager=True))
+             .dropDuplicates(["left_id", "right_id"]))
+    # materialize: the pair subtree feeds members (twice) and the final
+    # join — unmaterialized, Spark re-executes the band self-join per
+    # branch (no cross-exchange CSE)
+    pairs = _mat(pairs, "minhash_pairs")
     # verify stage: recompute signatures ONLY for candidate-pair members
     # (left-semi prune the documents first — without it each join branch
     # would re-run the UDF over the whole corpus)
@@ -274,10 +284,13 @@ def hash_token(tok: str) -> int:
 
 
 def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, materialize: str = "local",
+                  ckpt_runner=None) -> DataFrame:
     """SimHash + 4-block banding: near-dup pairs with hamming <= k.
     Splitting the 64-bit hash into (max_hamming+1) blocks guarantees at
-    least one identical block for any pair within the radius."""
+    least one identical block for any pair within the radius.
+    materialize/ckpt_runner as in minhash_dedup (ckpt.materialize)."""
+    from .. import ckpt as CK
     nblocks = max_hamming + 1
     width = 64 // nblocks
     # repartition the raw TEXT before attaching the UDF — placed above
@@ -285,9 +298,9 @@ def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     # leave the hash pass single-task on a 1-partition input
     docs_p = _spread_small(documents.select(F.col(id_col).alias("_id"),
                                             F.col(text_col).alias("_text")))
-    sh = docs_p.select("_id", simhash_udf()(F.col("_text")).alias("simhash")) \
-        .localCheckpoint(eager=True)   # one UDF pass feeds both join
-                                       # sides; GC-reclaimed, no leak
+    sh = CK.materialize(   # one UDF pass feeds both join sides
+        docs_p.select("_id", simhash_udf()(F.col("_text")).alias("simhash")),
+        materialize, ckpt_runner, "simhash_sig")
     blocks = sh.select("_id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width).bitwiseAND(

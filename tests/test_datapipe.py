@@ -199,3 +199,50 @@ def test_fnv1a_batch_matches_scalar():
     got = D.fnv1a_batch(toks)
     for t, g in zip(toks, got):
         assert int(g) == D.hash_token(t)
+
+def test_materialize_reliable_equals_local(spark, docs, tmp_path):
+    """ckpt.materialize knob: "reliable" (StageRunner parquet commit —
+    the fault-tolerant cluster setting) must return exactly the
+    "local" (localCheckpoint) results for every operator that shares a
+    materialized subtree; the reliable run also leaves resumable stage
+    outputs + per-partition metrics behind."""
+    from barefoot_spark.ckpt import StageRunner
+    from barefoot_spark.operators import analysis as A
+
+    def canon(df, cols):
+        return df.toPandas().sort_values(cols).reset_index(drop=True)
+
+    r1 = StageRunner(spark, str(tmp_path / "mh"))
+    a = canon(D.minhash_dedup(docs, jaccard_threshold=0.5),
+              ["left_id", "right_id"])
+    b = canon(D.minhash_dedup(docs, jaccard_threshold=0.5,
+                              materialize="reliable", ckpt_runner=r1),
+              ["left_id", "right_id"])
+    assert a.equals(b)
+    assert r1.is_complete("minhash_bands") and r1.is_complete("minhash_pairs")
+    assert r1.metrics().count() > 0
+
+    r2 = StageRunner(spark, str(tmp_path / "sh"))
+    a = canon(D.simhash_dedup(docs), ["left_id", "right_id"])
+    b = canon(D.simhash_dedup(docs, materialize="reliable", ckpt_runner=r2),
+              ["left_id", "right_id"])
+    assert a.equals(b)
+    assert r2.is_complete("simhash_sig")
+
+    rng = np.random.default_rng(11)
+    vals = np.round(np.cumsum(rng.uniform(0.005, 0.3, 300)), 6)
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(len(vals)), "value": vals}))
+    r3 = StageRunner(spark, str(tmp_path / "db"))
+    a = canon(A.dbcan_1d_core(vdf, eps=0.2, min_pts=4, n_buckets=6),
+              ["id"])
+    b = canon(A.dbcan_1d_core(vdf, eps=0.2, min_pts=4, n_buckets=6,
+                              materialize="reliable", ckpt_runner=r3),
+              ["id"])
+    assert a.equals(b)
+    assert r3.is_complete("dbcan_core_seg")
+
+    with pytest.raises(ValueError):
+        D.simhash_dedup(docs, materialize="reliable")   # runner required
+    with pytest.raises(ValueError):
+        D.simhash_dedup(docs, materialize="bogus")
