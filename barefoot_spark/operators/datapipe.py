@@ -15,6 +15,8 @@ broadcast hash join — never an O(n^2) cross join on the full table.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -508,10 +510,32 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
 
 
 def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
-                    n_planes: int = 10, seed: int = 42, dim: int = 64,
-                    id_col="vec_id", vec_col="embedding") -> DataFrame:
+                    n_planes: int | None = 10, seed: int = 42, dim: int = 64,
+                    id_col="vec_id", vec_col="embedding",
+                    bucket_cap: int = 4096) -> DataFrame:
     """Embedding near-duplicate pairs: LSH self-join + exact cosine
-    filter."""
+    filter.
+
+    Hot-bucket guard (the 100-TB skew obligation): a degenerate
+    embedding distribution (e.g. an all-near-duplicate corpus) can put
+    n rows into ONE bucket, making the self-join a single O(n^2) task.
+    Buckets above ``bucket_cap`` rows are salt-split into
+    s = ceil(cnt/cap) chunks and the bucket's pair space is tiled over
+    the triangular chunk pairs (left row with chunk a probes chunks
+    a..s-1), so no task owns more than ~cap^2 comparisons while the
+    candidate-pair SET — and therefore the result — is exactly
+    unchanged: a cross-chunk pair appears exactly once (canonicalized
+    by least/greatest id), a within-chunk pair is kept once by the
+    id-order predicate.
+
+    n_planes=None sizes the code length from the corpus: expected
+    bucket population n/2^p for random hyperplanes, targeting ~64
+    rows/bucket, clamped to [8, 24] — so the bucket count scales with
+    the corpus instead of hot buckets exploding.
+    """
+    if n_planes is None:
+        n = embeddings.count()
+        n_planes = int(min(24, max(8, math.ceil(math.log2(max(n, 2) / 64)))))
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
 
@@ -524,14 +548,33 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
             out |= bits[:, i].astype(np.int64) << i
         return pd.Series(out)
 
-    emb = embeddings.select(F.col(id_col).alias("_id"),
-                            F.col(vec_col).cast("array<double>").alias("_v")) \
-        .withColumn("bucket", bucket_udf(F.col("_v")))
-    l, r = emb.alias("l"), emb.alias("r")
-    pairs = (l.join(r, [F.col("l.bucket") == F.col("r.bucket"),
-                        F.col("l._id") < F.col("r._id")])
-             .select(F.col("l._id").alias("left_id"), F.col("r._id").alias("right_id"),
-                     _cosine_cols(F.col("l._v"), F.col("r._v")).alias("cosine")))
+    emb = (embeddings.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).cast("array<double>").alias("_v"))
+           .withColumn("bucket", bucket_udf(F.col("_v")))
+           # eager materialize: feeds the size census + both join sides
+           # (3 branches would re-run the UDF over the corpus)
+           .localCheckpoint(eager=True))
+    hot = (emb.groupBy("bucket").agg(F.count("*").alias("_bn"))
+           .filter(F.col("_bn") > bucket_cap))
+    emb = emb.join(F.broadcast(hot), "bucket", "left")
+    nsalt = F.coalesce(F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
+                       F.lit(1))
+    emb = (emb.withColumn("_ns", nsalt)
+           .withColumn("_s", F.pmod(F.xxhash64("_id"), F.col("_ns"))
+                       .cast("int")).drop("_bn"))
+    left = emb.withColumn(
+        "_t", F.explode(F.sequence(F.col("_s"), F.col("_ns") - 1))).alias("l")
+    right = emb.alias("r")
+    pairs = (left.join(right, [
+                 F.col("l.bucket") == F.col("r.bucket"),
+                 F.col("r._s") == F.col("l._t"),
+                 (F.col("l._s") != F.col("r._s"))
+                 | (F.col("l._id") < F.col("r._id"))])
+             .select(F.least(F.col("l._id"), F.col("r._id")).alias("left_id"),
+                     F.greatest(F.col("l._id"), F.col("r._id"))
+                     .alias("right_id"),
+                     _cosine_cols(F.col("l._v"), F.col("r._v"))
+                     .alias("cosine")))
     return pairs.filter(F.col("cosine") >= threshold)
 
 

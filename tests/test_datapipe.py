@@ -246,3 +246,35 @@ def test_materialize_reliable_equals_local(spark, docs, tmp_path):
         D.simhash_dedup(docs, materialize="reliable")   # runner required
     with pytest.raises(ValueError):
         D.simhash_dedup(docs, materialize="bogus")
+
+def test_cosine_near_dup_hot_bucket_guard(spark):
+    """Adversarial all-near-duplicate corpus: every vector lands in the
+    same LSH bucket. The salt-split guard must (a) return exactly the
+    unguarded pair set, (b) actually engage (multiple salt chunks), so
+    no single task owns the O(n^2) bucket at scale."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    vecs = base[None, :] + rng.normal(scale=1e-3, size=(200, 64))
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+
+    def canon(out):
+        return out.toPandas().sort_values(["left_id", "right_id"]) \
+            .round({"cosine": 9}).reset_index(drop=True)
+
+    unguarded = canon(D.cosine_near_dup(df, threshold=0.9,
+                                        bucket_cap=10 ** 9))
+    guarded = canon(D.cosine_near_dup(df, threshold=0.9, bucket_cap=32))
+    assert len(unguarded) == 200 * 199 // 2        # all pairs survive
+    assert unguarded.equals(guarded)
+    # sanity: mixed corpus (hot cluster + background) also identical
+    bg = rng.normal(size=(100, 64))
+    pdf2 = pd.DataFrame({"vec_id": range(300),
+                         "embedding": list(np.vstack([vecs, bg]))})
+    df2 = spark.createDataFrame(pdf2)
+    a = canon(D.cosine_near_dup(df2, threshold=0.9, bucket_cap=10 ** 9))
+    b = canon(D.cosine_near_dup(df2, threshold=0.9, bucket_cap=16))
+    assert a.equals(b)
+    # auto-sized code length clamps to the documented range
+    c = D.cosine_near_dup(df, threshold=0.9, n_planes=None, bucket_cap=32)
+    assert c.count() == 200 * 199 // 2
