@@ -15,8 +15,10 @@ independent re-synthesis — that is the per-row invariant
 (decoded-pixel allclose / PSNR >= 40 dB + exact caption equality).
 All Spark-side plumbing (schema, Arrow batches, mapInPandas kernels,
 verification op) is real and tested; only the byte format itself is the
-deterministic fake. Swapping in a real codec means replacing
-``encode_image``/``decode_image`` only.
+deterministic fake. The codec is resolved through the
+``sources/codecs.py`` seam — installing Pillow in the cluster image is
+the entire real-codec upgrade (every worker process resolves the
+Pillow adapter at import time; no code change).
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ from pyspark.sql.types import (
     BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
+
+from . import codecs
 
 IMAGES_SCHEMA = StructType([
     StructField("image_id", StringType(), False),
@@ -73,20 +77,13 @@ def synth_caption(image_id: str) -> str:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    if fmt == "png":
-        return zlib.compress(pixels.tobytes(), 1)
-    if fmt == "jpeg":
-        return zlib.compress((pixels & 0xFC).tobytes(), 1)
-    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
+    """Codec seam (sources/codecs.py): resolves to Pillow when the
+    library is installed, the deterministic stand-in otherwise."""
+    return codecs.get_image_codec().encode(pixels, fmt)
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    raw = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
-    if fmt == "png":
-        return raw.copy()
-    if fmt == "jpeg":
-        return (raw | 0x02).copy()  # mid-point dequantization
-    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
+    return codecs.get_image_codec().decode(data, w, h, fmt)
 
 
 def phash64(pixels: np.ndarray) -> int:

@@ -18,7 +18,6 @@ container (keyframe index) gives you at scale.
 
 from __future__ import annotations
 
-import struct
 import zlib
 
 import numpy as np
@@ -29,6 +28,7 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
+from . import codecs
 from .images import _id_seed, synth_pixels
 
 VIDEOS_SCHEMA = StructType([
@@ -61,34 +61,19 @@ def synth_frame(video_id: str, idx: int, w: int, h: int) -> np.ndarray:
 
 
 def encode_video(video_id: str, w: int, h: int, n_frames: int) -> bytes:
-    chunks = [struct.pack("<I", n_frames)]
-    for i in range(n_frames):
-        fb = zlib.compress(synth_frame(video_id, i, w, h).tobytes(), 1)
-        chunks.append(struct.pack("<I", len(fb)))
-        chunks.append(fb)
-    return b"".join(chunks)
+    return codecs.get_video_codec().encode_frames(
+        [synth_frame(video_id, i, w, h) for i in range(n_frames)])
 
 
 def video_frame_offsets(data: bytes) -> list:
     """Scan the container index: [(offset, length)] per frame."""
-    n = struct.unpack_from("<I", data, 0)[0]
-    out = []
-    pos = 4
-    for _ in range(n):
-        ln = struct.unpack_from("<I", data, pos)[0]
-        out.append((pos + 4, ln))
-        pos += 4 + ln
-    return out
+    return codecs.get_video_codec().frame_offsets(data)
 
 
 def decode_frame(data: bytes, offsets, idx: int, w: int, h: int,
                  codec: str = "fake") -> np.ndarray:
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r} not available in this container")
-    off, ln = offsets[idx]
-    return np.frombuffer(zlib.decompress(data[off:off + ln]),
-                         dtype=np.uint8).reshape(h, w, 3)
+    return codecs.get_video_codec().decode_frame(data, offsets, idx,
+                                                 w, h, codec)
 
 
 def synth_videos_pdf(n: int, w: int = 24, h: int = 16,
@@ -111,18 +96,15 @@ def synth_pcm(audio_id: str, sr: int, n_samples: int) -> np.ndarray:
     return np.clip(x * 32767 / 1.2, -32768, 32767).astype(np.int16)
 
 
-def encode_audio(pcm: np.ndarray, codec: str = "pcm") -> bytes:
-    if codec != "pcm":
-        raise NotImplementedError(
-            f"codec {codec!r} not available in this container")
-    return zlib.compress(pcm.tobytes(), 1)
+def encode_audio(pcm: np.ndarray, codec: str = "pcm",
+                 sr: int = 8000) -> bytes:
+    """Codec seam (sources/codecs.py): resolves to soundfile when the
+    library is installed, the zlib-PCM stand-in otherwise."""
+    return codecs.get_audio_codec().encode(pcm, codec, sr)
 
 
 def decode_audio(data: bytes, codec: str = "pcm") -> np.ndarray:
-    if codec != "pcm":
-        raise NotImplementedError(
-            f"codec {codec!r} not available in this container")
-    return np.frombuffer(zlib.decompress(data), dtype=np.int16)
+    return codecs.get_audio_codec().decode(data, codec)
 
 
 def synth_audio_pdf(n: int, sr: int = 8000, seconds: float = 1.5) -> pd.DataFrame:

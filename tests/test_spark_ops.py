@@ -288,3 +288,25 @@ def test_postgis_jdbc_query_pushdown(spark):
     # a loose/absent gid bound would serialize the scan -> rejected
     with pytest.raises(ValueError):
         JS.postgis_roads_reader(spark, "db", 5432, "osm", "u", "p")
+
+@pytest.mark.skipif("BF_PG_DSN" not in __import__("os").environ,
+                    reason="live PostGIS smoke: set BF_PG_DSN="
+                           "host:port:db:user:password to enable")
+def test_postgis_jdbc_live_load(spark):
+    """End-to-end JDBC load against a real PostGIS (the only untested
+    seam of the reader — query/option construction is covered above).
+    Runs whenever an environment provides a server via BF_PG_DSN; the
+    sandbox has none, so this is skipped and documented in COVERAGE.md."""
+    import os
+
+    from barefoot_spark.sources import jdbc as JS
+
+    host, port, db, user, pw = os.environ["BF_PG_DSN"].split(":")
+    gid_upper = 10_000_000
+    df = JS.postgis_roads_reader(spark, host, int(port), db, user, pw,
+                                 num_partitions=4,
+                                 gid_upper=gid_upper).load()
+    rows = df.limit(5).collect()
+    assert {"gid", "osm_id", "class_id", "source", "target",
+            "geom"} <= set(df.columns)
+    assert len(rows) >= 0
