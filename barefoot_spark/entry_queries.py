@@ -959,9 +959,11 @@ def q_audio_features(spark, sf_dir):
 
 def q_connected_components(spark, sf_dir):
     """Weakly-connected components via the large-star/small-star
-    algorithm over an orders-derived sparse graph (iterative
-    min-label fixpoint — not SQL-expressible -> rows-only; the
-    equivalence with plain label propagation is pytest-verified)."""
+    algorithm over an orders-derived sparse graph. Oracle-checked: the
+    min-label fixpoint IS SQL-expressible as a DuckDB recursive CTE
+    (reachability closure + min label per node), so the Spark
+    large-star/small-star result is value-verified against an
+    independent algorithm, not just row-counted."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     edges = (orders.filter(F.col("o_orderkey") % 7 == 0)
              .select(F.col("o_orderkey").alias("edge_id"),
@@ -970,6 +972,28 @@ def q_connected_components(spark, sf_dir):
     from . import graphx
     out = graphx.connected_components_star(edges)
     return out.orderBy("edge_id")
+
+
+def oracle_connected_components(sf_dir):
+    """Independent-algorithm twin: reachability closure (recursive CTE,
+    set-semantics UNION terminates it) + min reachable label per node —
+    cross-checks large-star/small-star end to end."""
+    return """
+        WITH RECURSIVE
+        e AS (SELECT o_orderkey AS edge_id, o_custkey % 500 AS s,
+                     500 + (o_orderkey * 13) % 797 AS t
+              FROM orders WHERE o_orderkey % 7 = 0),
+        und AS (SELECT s AS a, t AS b FROM e UNION SELECT t, s FROM e),
+        nodes AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS component FROM reach GROUP BY v)
+        SELECT e.edge_id, c.component FROM e JOIN comp c ON c.v = e.s
+        ORDER BY edge_id
+    """
 
 
 def q_dbscan_clusters(spark, sf_dir):
@@ -1418,6 +1442,7 @@ ORACLES = {
     "jaccard_pairs": oracle_jaccard_pairs,
     "doc_fingerprint": oracle_doc_fingerprint,
     "dbrcan_function": oracle_dbrcan_function,
+    "connected_components": oracle_connected_components,
     # viterbi_match / minhash_dedup / simhash_dedup / image_verify:
     # non-SQL-expressible (stateful kernel or seeded signature UDFs) ->
     # rows-only check per the driver contract

@@ -339,3 +339,15 @@ class RoadIndex:
         if name not in cache:
             cache[name] = self.cost_vector(name).tolist()
         return cache[name]
+
+    def base_list(self) -> list:
+        """Python-list view of edge_base (memoized) — the shorten-turns
+        test in the HMM pair loop indexes it per candidate pair."""
+        if getattr(self, "_base_list", None) is None:
+            self._base_list = self.edge_base.tolist()
+        return self._base_list
+
+    def len_list(self) -> list:
+        if getattr(self, "_len_list", None) is None:
+            self._len_list = self.edge_len.tolist()
+        return self._len_list

@@ -355,6 +355,21 @@ def path_cost(idx: RoadIndex, path, sf, tf, cost_vec):
     return c
 
 
+def path_cost2(idx: RoadIndex, path, sf, tf, vec_a, vec_b):
+    """Two cost vectors in ONE path walk (the HMM pair loop needs
+    timeprio AND distance per pair — two path_cost calls walked the
+    path twice). Per-vector op order identical to path_cost, so the
+    results are bit-identical to the separate calls."""
+    e0, el = path[0], path[-1]
+    rsf, rtf = 1.0 - sf, 1.0 - tf
+    a = vec_a[e0] * rsf
+    b = vec_b[e0] * rsf
+    for e in path[1:]:
+        a += vec_a[e]
+        b += vec_b[e]
+    return a - vec_a[el] * rtf, b - vec_b[el] * rtf
+
+
 # ---------------------------------------------------------------------------
 # Minset (matcher/Minset.java:71-114)
 # ---------------------------------------------------------------------------
@@ -618,6 +633,9 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
         tp_list = idx.cost_list("timeprio")
         bound_list = idx.cost_list("distance")
         cost_rt_list = idx.cost_list(params.routing_cost)
+        eb_list = idx.base_list()
+        el_list = idx.len_list()
+        shorten = params.shorten_turns
         pend_pi: list[int] = []
         pend_ci: list[int] = []
         pend_cost: list[float] = []
@@ -631,30 +649,36 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
             else:
                 paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
                                    bound_vec, bound)
+            routes_pi = routes[pi]
+            rlens_pi = rlens[pi]
+            pfrac = p.frac
             for ci, c in enumerate(cands):
                 path = paths[ci]
                 if path is None:
                     continue
-                sf, tf = p.frac, c.frac
+                sf, tf = pfrac, c.frac
                 # shorten-turns rewrite (Matcher.java:298-321)
-                if params.shorten_turns and len(path) >= 2 and \
-                        idx.edge_base[path[0]] == idx.edge_base[path[1]] and \
+                if shorten and len(path) >= 2 and \
+                        eb_list[path[0]] == eb_list[path[1]] and \
                         path[0] != path[1]:
                     if len(path) > 2:
                         sf = 1.0 - sf
                         path = path[1:]
                     else:
                         if sf < 1.0 - tf:
-                            tf = min(1.0, 1.0 - tf + 5.0 / idx.edge_len[path[0]])
+                            tf = min(1.0, 1.0 - tf + 5.0 / el_list[path[0]])
                             path = path[:1]
                         else:
-                            sf = max(0.0, 1.0 - sf - 5.0 / idx.edge_len[path[1]])
+                            sf = max(0.0, 1.0 - sf - 5.0 / el_list[path[1]])
                             path = path[1:]
                 pend_pi.append(pi)
                 pend_ci.append(ci)
-                pend_cost.append(path_cost(idx, path, sf, tf, tp_list))
-                routes[pi][ci] = path
-                rlens[pi, ci] = path_cost(idx, path, sf, tf, bound_list)
+                # one walk, both cost vectors (bit-identical to two
+                # separate path_cost calls)
+                ca, cb = path_cost2(idx, path, sf, tf, tp_list, bound_list)
+                pend_cost.append(ca)
+                routes_pi[ci] = path
+                rlens_pi[ci] = cb
         if pend_pi:
             # one vectorized exp instead of a scalar np.exp per pair
             trans[pend_pi, pend_ci] = (1.0 / beta) * np.exp(
