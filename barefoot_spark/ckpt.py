@@ -140,6 +140,13 @@ def materialize(df: DataFrame, mode: str = "local",
     the committed files), records per-partition lineage + metrics, and
     a re-run of the same stage name resumes by reading the committed
     output instead of recomputing.
+
+    The resume unit is the STAGE NAME within the runner's base dir:
+    calling the same operator twice on DIFFERENT inputs with the same
+    runner and the same stage name would resume the second call from
+    the first call's commit. Operators therefore expose a
+    ``stage_prefix`` parameter — give each distinct invocation sharing
+    a runner its own prefix (or each its own runner base dir).
     """
     if mode == "local":
         return df.localCheckpoint(eager=True)

@@ -1306,15 +1306,28 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def oracle_doc_fingerprint(sf_dir):
+    """Kernel-exact twin including the short-doc branches of
+    _shingle_hashes/doc_fingerprint: NULL -> "", texts shorter than k
+    are space-padded to k (one hash), and docs with fewer than `w`
+    hashes emit min-over-all instead of sliding-window minima.
+    Documented limitation: byte values come from ascii() code points,
+    so the twin assumes ASCII text (true of every fixture; the kernel
+    hashes utf-8 BYTES, which diverges on multi-byte characters)."""
     k, w = 8, 16
     mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
     terms = " + ".join(
         f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
         for j, m in enumerate(mult))
     return f"""
-        WITH pos AS (
+        WITH padded AS (
+            SELECT doc_id,
+                   CASE WHEN length(coalesce(text, '')) < {k}
+                        THEN rpad(coalesce(text, ''), {k}, ' ')
+                        ELSE text END AS text
+            FROM documents
+        ), pos AS (
             SELECT d.doc_id, d.text, g.i
-            FROM documents d,
+            FROM padded d,
                  LATERAL (SELECT unnest(generate_series(
                      1, length(d.text) - {k - 1})) AS i) g
         ), h AS (
@@ -1324,8 +1337,10 @@ def oracle_doc_fingerprint(sf_dir):
             FROM pos
         ), wm AS (
             SELECT doc_id, i, max_i,
-                   min(hv) OVER (PARTITION BY doc_id ORDER BY i
-                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                   CASE WHEN max_i >= {w}
+                        THEN min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                        ELSE min(hv) OVER (PARTITION BY doc_id) END
                        AS wmin
             FROM h
         )
@@ -1333,7 +1348,9 @@ def oracle_doc_fingerprint(sf_dir):
                CAST(CASE WHEN wmin >= 9223372036854775808::HUGEINT
                          THEN wmin - 18446744073709551616::HUGEINT
                          ELSE wmin END AS BIGINT) AS fp
-        FROM wm WHERE i <= max_i - {w - 1}
+        FROM wm
+        WHERE (max_i >= {w} AND i <= max_i - {w - 1})
+           OR (max_i < {w} AND i = 1)
     """
 
 

@@ -76,7 +76,8 @@ def dbcan_1d_global(values: DataFrame, eps: float, min_pts: int,
 def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
              value_col="value", id_col="id",
              n_buckets: int | None = None,
-             materialize: str = "local", ckpt_runner=None) -> DataFrame:
+             materialize: str = "local", ckpt_runner=None,
+             stage_prefix: str = "") -> DataFrame:
     """1-D density clustering: maximal runs of sorted values where each
     gap <= eps; clusters need >= min_pts members (DBCAN semantics:
     epsilon-neighborhood density over ordered doubles). Returns
@@ -111,7 +112,8 @@ def dbcan_1d(values: DataFrame, eps: float, min_pts: int,
     # the ContextCleaner once the result DF is dropped (persist would
     # leak a cache entry per invocation); reliable mode: parquet commit
     from .. import ckpt as CK
-    grp = CK.materialize(grp, materialize, ckpt_runner, "dbcan_seg")
+    grp = CK.materialize(grp, materialize, ckpt_runner,
+                         f"{stage_prefix}dbcan_seg")
 
     summ = grp.groupBy("_bkt").agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
@@ -272,7 +274,8 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
 def dbcan_1d_core(values: DataFrame, eps: float, min_pts: int,
                   value_col="value", id_col="id",
                   n_buckets: int | None = None,
-                  materialize: str = "local", ckpt_runner=None) -> DataFrame:
+                  materialize: str = "local", ckpt_runner=None,
+                  stage_prefix: str = "") -> DataFrame:
     """Exact-DBSCAN 1-D clustering (the reference's DBCAN semantics,
     analysis/DBCAN.java:48-100): an element is *core* iff >= min_pts
     elements (incl. itself, with multiplicity) lie within [v-eps, v+eps];
@@ -295,14 +298,16 @@ def dbcan_1d_core(values: DataFrame, eps: float, min_pts: int,
     if not bounds:
         return dbcan_1d_core_global(values, eps, min_pts, value_col, id_col)
     return _dbcan_1d_core_bucketed(values, eps, min_pts, value_col, id_col,
-                                   bounds, materialize, ckpt_runner)
+                                   bounds, materialize, ckpt_runner,
+                                   stage_prefix)
 
 
 def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
                             value_col: str, id_col: str,
                             bounds: list[float],
                             materialize: str = "local",
-                            ckpt_runner=None) -> DataFrame:
+                            ckpt_runner=None,
+                            stage_prefix: str = "") -> DataFrame:
     spark = values.sparkSession
     nb = len(bounds)
 
@@ -371,7 +376,8 @@ def _dbcan_1d_core_bucketed(values: DataFrame, eps: float, min_pts: int,
     # local: localCheckpoint (GC-reclaimed, no cache leak);
     # reliable: resumable parquet commit for cluster fault tolerance
     from .. import ckpt as CK
-    seg = CK.materialize(seg, materialize, ckpt_runner, "dbcan_core_seg")
+    seg = CK.materialize(seg, materialize, ckpt_runner,
+                         f"{stage_prefix}dbcan_core_seg")
 
     summ = seg.groupBy("_bkt").agg(
         F.min(core_val).alias("fc"), F.max(core_val).alias("lc"),

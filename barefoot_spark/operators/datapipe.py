@@ -134,7 +134,8 @@ def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42
 def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                   num_perm: int = 64, bands: int = 16,
                   jaccard_threshold: float = 0.6, shingle_k: int = 5,
-                  materialize: str = "local", ckpt_runner=None) -> DataFrame:
+                  materialize: str = "local", ckpt_runner=None,
+                  stage_prefix: str = "") -> DataFrame:
     """MinHash -> banded LSH buckets -> candidate pairs -> exact
     signature-Jaccard verify. Returns (left_id, right_id, est_jaccard).
 
@@ -147,12 +148,16 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     materialize="local" (single-JVM default) truncates the shared
     band/pair subtrees with localCheckpoint; "reliable" (+ckpt_runner)
     commits them as resumable parquet stages — the fault-tolerant
-    setting for cluster runs (see ckpt.materialize).
+    setting for cluster runs (see ckpt.materialize). In reliable mode
+    the resume unit is the STAGE NAME: give each distinct invocation
+    sharing one StageRunner its own stage_prefix, or the second call
+    would resume from the first call's committed output.
     """
     from .. import ckpt as CK
 
     def _mat(df, stage):
-        return CK.materialize(df, materialize, ckpt_runner, stage)
+        return CK.materialize(df, materialize, ckpt_runner,
+                              f"{stage_prefix}{stage}")
 
     rows_per_band = num_perm // bands
     udf = minhash_signature_udf(num_perm, shingle_k)
@@ -287,11 +292,11 @@ def hash_token(tok: str) -> int:
 
 def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                   max_hamming: int = 3, materialize: str = "local",
-                  ckpt_runner=None) -> DataFrame:
+                  ckpt_runner=None, stage_prefix: str = "") -> DataFrame:
     """SimHash + 4-block banding: near-dup pairs with hamming <= k.
     Splitting the 64-bit hash into (max_hamming+1) blocks guarantees at
     least one identical block for any pair within the radius.
-    materialize/ckpt_runner as in minhash_dedup (ckpt.materialize)."""
+    materialize/ckpt_runner/stage_prefix as in minhash_dedup."""
     from .. import ckpt as CK
     nblocks = max_hamming + 1
     width = 64 // nblocks
@@ -302,7 +307,7 @@ def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                                             F.col(text_col).alias("_text")))
     sh = CK.materialize(   # one UDF pass feeds both join sides
         docs_p.select("_id", simhash_udf()(F.col("_text")).alias("simhash")),
-        materialize, ckpt_runner, "simhash_sig")
+        materialize, ckpt_runner, f"{stage_prefix}simhash_sig")
     blocks = sh.select("_id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width).bitwiseAND(
@@ -512,7 +517,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
 def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                     n_planes: int | None = 10, seed: int = 42, dim: int = 64,
                     id_col="vec_id", vec_col="embedding",
-                    bucket_cap: int = 4096) -> DataFrame:
+                    bucket_cap: int = 4096, materialize: str = "local",
+                    ckpt_runner=None, stage_prefix: str = "") -> DataFrame:
     """Embedding near-duplicate pairs: LSH self-join + exact cosine
     filter.
 
@@ -520,13 +526,17 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     embedding distribution (e.g. an all-near-duplicate corpus) can put
     n rows into ONE bucket, making the self-join a single O(n^2) task.
     Buckets above ``bucket_cap`` rows are salt-split into
-    s = ceil(cnt/cap) chunks and the bucket's pair space is tiled over
-    the triangular chunk pairs (left row with chunk a probes chunks
-    a..s-1), so no task owns more than ~cap^2 comparisons while the
-    candidate-pair SET — and therefore the result — is exactly
-    unchanged: a cross-chunk pair appears exactly once (canonicalized
-    by least/greatest id), a within-chunk pair is kept once by the
-    id-order predicate.
+    s = ceil(cnt/cap) chunks and the pair space is tiled over the
+    triangular chunk pairs with BOTH sides exploded — the left row of
+    chunk a carries target keys (a, t) for t in a..s-1, the right row
+    of chunk b carries probe keys (q, b) for q in 0..b — so every
+    shuffle key is one ordered chunk pair (a, b) holding ~cap x ~cap
+    rows: per-task work is bounded by ~cap^2 comparisons (a one-sided
+    explode would put ALL cnt left rows under the (bucket, s-1) key —
+    cnt*cap work in one task). The candidate-pair SET — and therefore
+    the result — is exactly unchanged: a cross-chunk pair appears
+    exactly once (canonicalized by least/greatest id), a within-chunk
+    pair is kept once by the id-order predicate.
 
     n_planes=None sizes the code length from the corpus: expected
     bucket population n/2^p for random hyperplanes, targeting ~64
@@ -548,12 +558,15 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
             out |= bits[:, i].astype(np.int64) << i
         return pd.Series(out)
 
-    emb = (embeddings.select(F.col(id_col).alias("_id"),
-                             F.col(vec_col).cast("array<double>").alias("_v"))
-           .withColumn("bucket", bucket_udf(F.col("_v")))
-           # eager materialize: feeds the size census + both join sides
-           # (3 branches would re-run the UDF over the corpus)
-           .localCheckpoint(eager=True))
+    from .. import ckpt as CK
+    # eager materialize: feeds the size census + both join sides
+    # (3 branches would re-run the UDF over the corpus); reliable mode
+    # commits through StageRunner like the other dedup stages
+    emb = CK.materialize(
+        embeddings.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("bucket", bucket_udf(F.col("_v"))),
+        materialize, ckpt_runner, f"{stage_prefix}cosine_buckets")
     hot = (emb.groupBy("bucket").agg(F.count("*").alias("_bn"))
            .filter(F.col("_bn") > bucket_cap))
     emb = emb.join(F.broadcast(hot), "bucket", "left")
@@ -564,10 +577,12 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                        .cast("int")).drop("_bn"))
     left = emb.withColumn(
         "_t", F.explode(F.sequence(F.col("_s"), F.col("_ns") - 1))).alias("l")
-    right = emb.alias("r")
+    right = emb.withColumn(
+        "_q", F.explode(F.sequence(F.lit(0), F.col("_s")))).alias("r")
     pairs = (left.join(right, [
                  F.col("l.bucket") == F.col("r.bucket"),
-                 F.col("r._s") == F.col("l._t"),
+                 F.col("l._t") == F.col("r._s"),
+                 F.col("l._s") == F.col("r._q"),
                  (F.col("l._s") != F.col("r._s"))
                  | (F.col("l._id") < F.col("r._id"))])
              .select(F.least(F.col("l._id"), F.col("r._id")).alias("left_id"),

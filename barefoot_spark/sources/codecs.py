@@ -83,6 +83,14 @@ class PillowImageCodec:
         return buf.getvalue()
 
     def decode(self, data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+        # back-compat carve-out: tables written before the Pillow
+        # upgrade hold stand-in blobs under the same "png"/"jpeg" tags.
+        # A zlib stream starts 0x78 (or low-nibble 0x08 CMF), while a
+        # real PNG starts 0x89 and a JPEG 0xFF — sniff and route
+        # stand-in bytes through the stand-in decoder so an upgraded
+        # fleet keeps reading pre-upgrade data.
+        if data[:1] == b"\x78":
+            return StandInImageCodec().decode(data, w, h, fmt)
         import io
         img = self._Image.open(io.BytesIO(data)).convert("RGB")
         px = np.asarray(img, dtype=np.uint8)
@@ -153,7 +161,11 @@ class SoundFileAudioCodec:
             return self._fallback.encode(pcm, codec, sr)
         import io
         buf = io.BytesIO()
-        self._sf.write(buf, pcm, sr, format=codec.upper(), subtype="PCM_16")
+        f = codec.upper()
+        # OGG rejects PCM subtypes (needs VORBIS) — let soundfile pick
+        # the format's default subtype, falling back to 16-bit PCM
+        sub = self._sf.default_subtype(f) or "PCM_16"
+        self._sf.write(buf, pcm, sr, format=f, subtype=sub)
         return buf.getvalue()
 
     def decode(self, data: bytes, codec: str = "pcm") -> np.ndarray:

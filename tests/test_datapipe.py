@@ -278,3 +278,33 @@ def test_cosine_near_dup_hot_bucket_guard(spark):
     # auto-sized code length clamps to the documented range
     c = D.cosine_near_dup(df, threshold=0.9, n_planes=None, bucket_cap=32)
     assert c.count() == 200 * 199 // 2
+
+def test_doc_fingerprint_oracle_short_docs(spark):
+    """The DuckDB fingerprint twin must mirror the kernel's short-doc
+    branches (pad-to-k for texts under 8 chars, min-over-all when fewer
+    than 16 hashes exist, NULL -> "") — latent divergences here only
+    escaped the driver gate because every fixture doc is long."""
+    import duckdb
+
+    from barefoot_spark import entry_queries as EQ
+
+    texts = ["", "a", "abc", "exactly8", "twelve chars",
+             "twenty-two characters!",
+             "twenty-three characters", None,
+             "a perfectly ordinary long document with plenty of "
+             "characters to produce many sliding windows"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    out = D.doc_fingerprint(spark.createDataFrame(pdf))
+    got = (out.select("doc_id", F.explode("fingerprint").alias("fp"))
+           .distinct().toPandas()
+           .sort_values(["doc_id", "fp"]).reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(EQ.oracle_doc_fingerprint("unused")).df() \
+        .sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["fp"].tolist() == want["fp"].tolist()
+    # every doc fingerprints (the short-doc branches emit one value)
+    assert set(got["doc_id"]) == set(range(len(texts)))
