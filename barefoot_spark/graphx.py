@@ -78,10 +78,31 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
     the data does — the applied form of the ckpt stage-commit
     discipline (a real cluster run would checkpoint to the stage
     table instead)."""
+    labels = components_star_nodes(
+        edges.select(F.col("source").alias("u"), F.col("target").alias("v")),
+        max_rounds)
+    verts = (edges.select(F.col("source").alias("vtx"))
+             .union(edges.select(F.col("target").alias("vtx"))).distinct())
+    full = (verts.join(labels, "vtx", "left")
+            .select("vtx", F.coalesce("label", "vtx").alias("label")))
+    return (edges.select("edge_id", "source")
+            .join(full.withColumnRenamed("vtx", "source"), "source")
+            .select("edge_id", F.col("label").alias("component")))
+
+
+def components_star_nodes(pairs_df: DataFrame,
+                          max_rounds: int = 25) -> DataFrame:
+    """Node-level large-star/small-star kernel shared by
+    connected_components_star and dbscan_2d's cluster resolution:
+    (u, v) pair DataFrame in, (vtx, label = min reachable vertex id)
+    out, for every vertex appearing in at least one pair (callers
+    coalesce isolated vertices to their own id). Input is symmetrized
+    internally, so directed or undirected pair sets both work."""
     # parent map starts as each undirected edge (both directions)
-    und = (edges.select(F.col("source").alias("u"), F.col("target").alias("v"))
-           .union(edges.select(F.col("target").alias("u"),
-                               F.col("source").alias("v")))
+    u0, v0 = pairs_df.columns[0], pairs_df.columns[1]
+    base = pairs_df.select(F.col(u0).alias("u"), F.col(v0).alias("v"))
+    und = (base.union(base.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
            .filter(F.col("u") != F.col("v")).distinct())
     pairs = und.localCheckpoint(eager=True)
 
@@ -118,11 +139,7 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
             break
         pairs = new_pairs
 
-    labels = pairs.select(F.col("u").alias("vtx"), F.col("v").alias("label"))
-    verts = (edges.select(F.col("source").alias("vtx"))
-             .union(edges.select(F.col("target").alias("vtx"))).distinct())
-    full = (verts.join(labels, "vtx", "left")
-            .select("vtx", F.coalesce("label", "vtx").alias("label")))
-    return (edges.select("edge_id", "source")
-            .join(full.withColumnRenamed("vtx", "source"), "source")
-            .select("edge_id", F.col("label").alias("component")))
+    # min per vertex: at convergence pairs are star edges (one root per
+    # u); the groupBy also makes a max_rounds cutoff degrade gracefully
+    return pairs.groupBy(F.col("u").alias("vtx")) \
+        .agg(F.min("v").alias("label"))

@@ -238,26 +238,21 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
             .select(F.col(id_col),
                     (F.coalesce(F.col("nbrs"), F.lit(0)) + 1 >= min_pts).alias("is_core")))
 
-    # 3. label propagation over core-core edges
+    # 3. components of the core-core subgraph via large-star/small-star
+    # (graphx.components_star_nodes — O(log^2 n) rounds instead of the
+    # O(diameter) min-label propagation this used to run: at sf0.01 the
+    # chain-shaped clusters took ~25 rounds x 2 blocking jobs each)
+    from .. import graphx
     core_ids = core.filter("is_core").select(F.col(id_col).alias("node"))
     cc_edges = (edges.join(core_ids.withColumnRenamed("node", "a"), "a")
                 .join(core_ids.withColumnRenamed("node", "b"), "b")
                 .select("a", "b").cache())
-    labels = core_ids.select("node", F.col("node").alias("label"))
-    for _ in range(max_rounds):
-        nbr_min = (cc_edges.join(labels, cc_edges["b"] == labels["node"])
-                   .groupBy("a").agg(F.min("label").alias("nbr_label")))
-        # localCheckpoint: plan references `labels` twice per round
-        # (join + convergence compare) -> geometric plan growth without
-        # lineage truncation (see graphx.connected_components)
-        new_labels = (labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-                      .select("node", F.least("label", F.coalesce("nbr_label", "label"))
-                              .alias("label")).localCheckpoint(eager=True))
-        changed = (new_labels.alias("n").join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).limit(1).count())
-        labels = new_labels
-        if changed == 0:
-            break
+    star = graphx.components_star_nodes(cc_edges, max_rounds)
+    # isolated cores (no core-core edge) and component roots label
+    # themselves (components_star_nodes omits roots by construction)
+    labels = (core_ids.join(star.withColumnRenamed("vtx", "node"),
+                            "node", "left")
+              .select("node", F.coalesce("label", "node").alias("label")))
 
     # 4. border points: min label among core neighbors
     core_lbl = labels.withColumnRenamed("node", "cid").withColumnRenamed("label", "cluster_id")
