@@ -62,3 +62,63 @@ def test_stream_matches_online(spark, idx, tmp_path):
     assert len(got) == len(exp)
     assert got["edge_id"].tolist() == exp["edge_id"].tolist()
     np.testing.assert_allclose(got["fraction"], exp["fraction"], atol=1e-12)
+
+def test_stream_restart_from_checkpoint(spark, idx, tmp_path):
+    """The Structured Streaming recovery contract: STOP the query after
+    the first micro-batch, start a NEW query from the same
+    checkpointLocation, feed the rest — the restarted query must resume
+    from the persisted state store (not re-seed), so the combined
+    estimates equal the uninterrupted online-matcher run. This is the
+    cluster-crash analog of the KState JSON save/restore test."""
+    idx_bc = spark.sparkContext.broadcast(idx)
+    pdf = SS.synth_traces(idx, n_traces=2, samples_per_trace=12, seed=21)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    schema = ("trace_id string, sample_id string, time long, "
+              "lat double, lon double, azimuth double")
+
+    def start():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery; parquet is the exactly-once recoverable sink
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = ST.match_stream(stream, idx_bc)
+        return (out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    first = pdf.groupby("trace_id").head(6)
+    second = pdf[~pdf.index.isin(first.index)]
+
+    q1 = start()
+    spark.createDataFrame(first).coalesce(1).write.mode("append").parquet(in_dir)
+    q1.processAllAvailable()
+    q1.stop()                      # simulated crash/redeploy
+    n1 = len(spark.read.parquet(out_dir).toPandas())
+
+    q2 = start()                   # fresh query, same checkpoint
+    spark.createDataFrame(second).coalesce(1).write.mode("append").parquet(in_dir)
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(out_dir).toPandas()
+    n2 = len(got) - n1
+
+    om = OnlineMatcher(idx)
+    expect = []
+    for tid, g in pdf.groupby("trace_id"):
+        for r in g.sort_values("time").itertuples(index=False):
+            status, publish, row = om.update(tid, int(r.time), r.lat, r.lon,
+                                             r.azimuth)
+            if status == "ok" and publish:
+                expect.append(row)
+    exp = pd.DataFrame(expect,
+                       columns=[f.name for f in ST.ESTIMATE_SCHEMA.fields]) \
+        .sort_values(["trace_id", "time"]).reset_index(drop=True)
+    got = got.sort_values(["trace_id", "time"]).reset_index(drop=True)
+    assert n1 > 0 and n2 > 0       # both runs contributed rows
+    assert len(got) == len(exp)
+    assert got["edge_id"].tolist() == exp["edge_id"].tolist()
+    np.testing.assert_allclose(got["fraction"], exp["fraction"], atol=1e-12)
