@@ -40,7 +40,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_session(app="selfcheck", master="local[8]", shuffle_partitions=8)
+    # default to the DRIVER's topology: the round-2 ghost-gate bug only
+    # materialized at 32 buckets (defaultParallelism) and was invisible
+    # at local[8] — the gate mimic must mimic the gate's parallelism
+    import os
+    master = os.environ.get("SELFCHECK_MASTER", "local[32]")
+    nshuf = int(master.split("[")[1].rstrip("]*")or "8") if "[" in master else 8
+    spark = build_session(app="selfcheck", master=master,
+                          shuffle_partitions=max(nshuf, 8))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
