@@ -630,6 +630,7 @@ def q_text_stats(spark, sf_dir):
     return out.select(
         "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
         F.col("word_tokens").cast("long").alias("word_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
         F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
         "punct_ratio", "stopword_ratio", "mean_word_len",
         "quality_score", "lang_guess")

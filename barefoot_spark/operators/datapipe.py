@@ -599,6 +599,13 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
 
 _STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"]
 
+# GPT-2-style pretokenizer, restricted to constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, space-prefixed letter/digit/punct runs, whitespace runs.
+# (The original pattern's lookahead and \p{L}/\p{N} classes are
+# dropped — RE2 has no lookahead; ASCII classes match the corpus.)
+_BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
 
 def text_stats(documents: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     """Token counts (whitespace + word-regex), punctuation/stopword
@@ -607,6 +614,7 @@ def text_stats(documents: DataFrame, text_col="text", id_col="doc_id") -> DataFr
     t = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     words = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0))
+    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(_BPE_PATTERN), 0))
     chars = F.length(t)
     punct = chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9 \t\n\r]", ""))
     stop_hits = sum(
@@ -624,6 +632,7 @@ def text_stats(documents: DataFrame, text_col="text", id_col="doc_id") -> DataFr
     lang_guess = F.when(stop_ratio >= 0.08, F.lit("en")).otherwise(F.lit("other"))
     return documents.select(
         F.col(id_col), ws_tokens.alias("ws_tokens"), words.alias("word_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
         chars.alias("n_chars_calc"), punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"), mean_word_len.alias("mean_word_len"),
         quality.alias("quality_score"), lang_guess.alias("lang_guess"))
@@ -646,10 +655,13 @@ def text_stats_oracle_sql(table="documents", text_col="text", id_col="doc_id") -
                f"+ least({stop_ratio} * 5.0, 1.0) * 0.4 "
                f"+ (1.0 - least({punct_ratio} * 4.0, 1.0)) * 0.2, 6)")
     lang = f"case when {stop_ratio} >= 0.08 then 'en' else 'other' end"
+    bpe = (f"len(regexp_extract_all({t}, "
+           f"'{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}'))")
     return f"""
         SELECT {id_col},
                len(regexp_split_to_array(trim({t}), '\\s+')) AS ws_tokens,
                {words} AS word_tokens,
+               {bpe} AS bpe_tokens,
                {chars} AS n_chars_calc,
                {punct_ratio} AS punct_ratio,
                {stop_ratio} AS stopword_ratio,

@@ -308,3 +308,26 @@ def test_doc_fingerprint_oracle_short_docs(spark):
     assert got["fp"].tolist() == want["fp"].tolist()
     # every doc fingerprints (the short-doc branches emit one value)
     assert set(got["doc_id"]) == set(range(len(texts)))
+
+def test_bpe_tokens_regex_parity(spark):
+    """The GPT-2-style pretokenizer count must agree between Java regex
+    (Spark) and RE2 (DuckDB) on contraction suffixes, leading-space
+    runs, punctuation clusters and empty text — the constructs the
+    restricted pattern was designed around."""
+    import duckdb
+
+    texts = ["I'll say it's a test, isn't it? 42 tokens-ish...",
+             "hello   world\n\tnew line", "", "1234 $$%% mixed99up",
+             "don't you've we're I'd o'clock ''", "   leading spaces"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (D.text_stats(spark.createDataFrame(pdf))
+           .select("doc_id", "bpe_tokens").toPandas()
+           .sort_values("doc_id"))
+    con = duckdb.connect()
+    con.register("d", pdf)
+    pat = D._BPE_PATTERN.replace("'", "''")
+    want = con.execute(
+        f"SELECT doc_id, len(regexp_extract_all(text, '{pat}')) AS n "
+        f"FROM d ORDER BY doc_id").df()
+    assert got["bpe_tokens"].tolist() == want["n"].tolist()
+    assert got["bpe_tokens"].tolist()[0] == 17   # pinned golden
