@@ -1234,9 +1234,87 @@ ORDER BY group_id, x, minimum DESC
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup pipeline, oracle-checked end to end: the
+    band-bucket key is the arithmetic Horner-mod-2^64 variant
+    (DP.poly_band_expr) so bands -> pairs -> verify all mirror into
+    HUGEINT DuckDB SQL — signature = min over shingles of
+    (a*x + b) wrapped mod 2^64 then mod 2^61-1, exactly the numpy
+    uint64 op order of minhash_signature_udf."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (DP.minhash_dedup(docs, jaccard_threshold=0.5)
+    return (DP.minhash_dedup(docs, jaccard_threshold=0.5, band_key="poly")
             .select("left_id", "right_id", F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
+def oracle_minhash_dedup(sf_dir):
+    """HUGEINT twin of the full minhash_dedup pipeline (num_perm=64,
+    bands=16, shingle_k=5, seed=42, threshold=0.5). Mirrors the numpy
+    kernel exactly: rolling k-gram polynomial hash mod 2^64 (per-term
+    wrap == whole-sum wrap), per-permutation
+    ((a*hv) mod 2^64 + b) mod 2^64 mod (2^61-1) with min over the
+    doc's DISTINCT shingles (min over duplicates == min over uniques),
+    band bucket = Horner fold mod 2^64 in permutation order (the
+    poly_band_expr twin), candidate pairs on (band, bucket) with
+    left<right, est_jaccard = matching permutations / 64 (multiples of
+    1/64 are exact in double and have exactly 6 decimals, so round(,6)
+    is wash on both engines). Short docs space-padded to k; ASCII
+    corpus assumption as documented on oracle_doc_fingerprint."""
+    k, num_perm, bands_n = 5, 64, 16
+    rpb = num_perm // bands_n
+    m64 = "18446744073709551616::HUGEINT"
+    mp = "2305843009213693951::HUGEINT"   # 2^61 - 1
+    a, b = DP._minhash_params(num_perm, 42)
+    pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+                      for p in range(num_perm))
+    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
+        for j, m in enumerate(mult))
+    sel_sj = ", ".join(f"max(CASE WHEN p % {rpb} = {j} THEN s END) AS s{j}"
+                       for j in range(rpb))
+    horner = "s0"
+    for j in range(1, rpb):
+        horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
+    return f"""
+        WITH params(p, a, b) AS (VALUES {pvals}),
+        padded AS (
+            SELECT doc_id,
+                   CASE WHEN length(coalesce(text, '')) < {k}
+                        THEN rpad(coalesce(text, ''), {k}, ' ')
+                        ELSE text END AS text
+            FROM documents
+        ), pos AS (
+            SELECT d.doc_id, d.text, g.i
+            FROM padded d,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, length(d.text) - {k - 1})) AS i) g
+        ), hu AS (
+            SELECT DISTINCT doc_id, ({terms}) % {m64} AS hv FROM pos
+        ), sig AS (
+            SELECT doc_id, p,
+                   min(((a * hv) % {m64} + b) % {m64} % {mp}) AS s
+            FROM hu, params GROUP BY doc_id, p
+        ), b4 AS (
+            SELECT doc_id, p // {rpb} AS band, {sel_sj}
+            FROM sig GROUP BY doc_id, p // {rpb}
+        ), bk AS (
+            SELECT doc_id, band, {horner} AS bucket FROM b4
+        ), pairs AS (
+            SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+            FROM bk l JOIN bk r
+              ON l.band = r.band AND l.bucket = r.bucket
+             AND l.doc_id < r.doc_id
+        ), est AS (
+            SELECT p.left_id, p.right_id,
+                   sum(CASE WHEN ls.s = rs.s THEN 1 ELSE 0 END)
+                       / CAST({num_perm} AS DOUBLE) AS est_jaccard
+            FROM pairs p
+            JOIN sig ls ON ls.doc_id = p.left_id
+            JOIN sig rs ON rs.doc_id = p.right_id AND rs.p = ls.p
+            GROUP BY p.left_id, p.right_id
+        )
+        SELECT left_id, right_id, round(est_jaccard, 6) AS est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+    """
 
 
 def q_simhash_dedup(spark, sf_dir):
@@ -1461,7 +1539,8 @@ ORACLES = {
     "doc_fingerprint": oracle_doc_fingerprint,
     "dbrcan_function": oracle_dbrcan_function,
     "connected_components": oracle_connected_components,
-    # viterbi_match / minhash_dedup / simhash_dedup / image_verify:
-    # non-SQL-expressible (stateful kernel or seeded signature UDFs) ->
-    # rows-only check per the driver contract
+    "minhash_dedup": oracle_minhash_dedup,
+    # viterbi_match / simhash_dedup / image_verify: non-SQL-expressible
+    # (stateful kernel or seeded signature UDFs) -> rows-only check per
+    # the driver contract
 }

@@ -131,13 +131,40 @@ def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 42
     return _udf
 
 
+_MOD64_DEC = "CAST('18446744073709551616' AS DECIMAL(38,0))"   # 2^64
+
+
+def poly_band_expr(band: int, rows_per_band: int, sig_col: str = "sig") -> str:
+    """Arithmetic band-bucket key: Horner fold of the band's signature
+    slice, ``acc = (acc * 1000003 + sig[j]) mod 2^64``, in
+    DECIMAL(38,0). The running value stays < 2^64 (20 digits); one
+    step peaks at 20 + 7 digits — far under the 38-digit cap, so ANSI
+    mode never overflows. Unlike ``F.hash`` (Murmur3 — no portable
+    twin) this key is plain modular arithmetic, expressible in any
+    engine with 128-bit integers: it is what lets the whole
+    bands -> pairs -> verify pipeline run under a DuckDB value oracle
+    (HUGEINT mirror in entry_queries.oracle_minhash_dedup)."""
+    return (f"aggregate(slice({sig_col}, {band * rows_per_band + 1}, "
+            f"{rows_per_band}), CAST(0 AS DECIMAL(38,0)), "
+            f"(acc, x) -> CAST((acc * 1000003 + x) % {_MOD64_DEC} "
+            f"AS DECIMAL(38,0)))")
+
+
 def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                   num_perm: int = 64, bands: int = 16,
                   jaccard_threshold: float = 0.6, shingle_k: int = 5,
                   materialize: str = "local", ckpt_runner=None,
-                  stage_prefix: str = "") -> DataFrame:
+                  stage_prefix: str = "", band_key: str = "hash") -> DataFrame:
     """MinHash -> banded LSH buckets -> candidate pairs -> exact
     signature-Jaccard verify. Returns (left_id, right_id, est_jaccard).
+
+    band_key: "hash" (F.hash/Murmur3 — cheapest, JVM-only semantics) or
+    "poly" (decimal Horner mod 2^64 — identical candidate semantics,
+    value-oracle-portable; see poly_band_expr). Both are proxies for
+    "band slices equal": collisions of either key only ADD candidate
+    pairs, which the est_jaccard >= threshold verify then filters, so
+    the final pair set is key-independent for any threshold >= 1/bands
+    corpus (pytest-pinned equality on the fixture corpus).
 
     Scale shape: signature is one pandas UDF pass; the only shuffles are
     the band-bucket equi-join (self-join on [band, bucket_hash]) and the
@@ -169,12 +196,17 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     # on array columns — ~10x the UDF cost), and let the two sparse
     # verify lookups recompute the now-cheap batch-vectorized UDF
     # instead of caching the signature arrays
+    if band_key == "poly":
+        def _bucket(i):
+            return F.expr(poly_band_expr(i, rows_per_band)).alias("bucket")
+    else:
+        def _bucket(i):
+            return F.hash(F.slice("sig", i * rows_per_band + 1,
+                                  rows_per_band)).alias("bucket")
     bands_df = sig.select(
         "_id",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                     .alias("bucket"))
+            F.struct(F.lit(i).alias("band"), _bucket(i))
             for i in range(bands)])).alias("bb")) \
         .select("_id", "bb.band", "bb.bucket")
     bands_df = _mat(bands_df, "minhash_bands")  # materialized once
@@ -543,8 +575,17 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     rows/bucket, clamped to [8, 24] — so the bucket count scales with
     the corpus instead of hot buckets exploding.
     """
+    from .. import ckpt as CK
+    proj = embeddings.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).cast("array<double>").alias("_v"))
     if n_planes is None:
-        n = embeddings.count()
+        # count the MATERIALIZED projection, not the raw input: the
+        # sizing scan is then a cheap re-read of the committed/
+        # checkpointed narrow table, and in reliable mode a resume
+        # doesn't re-pay it (the stage commit covers it)
+        proj = CK.materialize(proj, materialize, ckpt_runner,
+                              f"{stage_prefix}cosine_proj")
+        n = proj.count()
         n_planes = int(min(24, max(8, math.ceil(math.log2(max(n, 2) / 64)))))
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
@@ -558,14 +599,11 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
             out |= bits[:, i].astype(np.int64) << i
         return pd.Series(out)
 
-    from .. import ckpt as CK
     # eager materialize: feeds the size census + both join sides
     # (3 branches would re-run the UDF over the corpus); reliable mode
     # commits through StageRunner like the other dedup stages
     emb = CK.materialize(
-        embeddings.select(F.col(id_col).alias("_id"),
-                          F.col(vec_col).cast("array<double>").alias("_v"))
-        .withColumn("bucket", bucket_udf(F.col("_v"))),
+        proj.withColumn("bucket", bucket_udf(F.col("_v"))),
         materialize, ckpt_runner, f"{stage_prefix}cosine_buckets")
     hot = (emb.groupBy("bucket").agg(F.count("*").alias("_bn"))
            .filter(F.col("_bn") > bucket_cap))
@@ -675,16 +713,67 @@ def text_stats_oracle_sql(table="documents", text_col="text", id_col="doc_id") -
 def doc_fingerprint(documents: DataFrame, text_col="text", id_col="doc_id",
                     k: int = 8, window: int = 16) -> DataFrame:
     """Winnowing fingerprint: min rolling-hash per sliding window,
-    distinct mins -> sorted fingerprint array (numpy kernel)."""
+    distinct mins -> sorted fingerprint array.
+
+    Batch-vectorized like minhash_signature_udf: ONE sliding-window
+    hash pass over the batch's concatenated bytes, the window minima
+    evaluated across the whole concatenated hash stream (rows whose
+    window straddles a document boundary masked out), short docs folded
+    with np.minimum.reduceat, and the per-doc distinct+sort done by one
+    batch-wide lexsort — no per-document Python in the hash/min/unique
+    path (the only per-doc step left is encoding input strings and
+    splitting the output array). Bit-identical to the former per-doc
+    formulation (pinned by the doc_fingerprint DuckDB oracle and the
+    golden pytest)."""
+    mult = np.power(np.uint64(1000003), np.arange(k, dtype=np.uint64))
+
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            hs = _shingle_hashes(t or "", k).astype(np.uint64)
-            if len(hs) >= window:
-                wmin = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
-            else:
-                wmin = hs.min(keepdims=True) if len(hs) else np.zeros(1, np.uint64)
-            out.append(np.unique(wmin).astype(np.int64))
-        return pd.Series(out)
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        bufs = []
+        counts = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            bb = np.frombuffer((t or "").encode("utf-8", "ignore"),
+                               dtype=np.uint8)
+            if len(bb) < k:
+                bb = np.pad(bb, (0, k - len(bb)), constant_values=32)
+            bufs.append(bb)
+            counts[i] = len(bb) - k + 1
+        buf = np.concatenate(bufs)
+        lens = np.array([len(bb) for bb in bufs], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        total = int(counts.sum())
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        doc_of = np.repeat(np.arange(n), counts)
+        within = np.arange(total) - np.repeat(offs, counts)
+        win = np.lib.stride_tricks.sliding_window_view(buf, k)
+        hs = (win[starts[doc_of] + within].astype(np.uint64) * mult).sum(
+            axis=1, dtype=np.uint64)
+        # sliding minima over the concatenated stream; keep only rows
+        # whose w-window lies entirely inside one document
+        docs_parts, vals_parts = [], []
+        if total >= window:
+            wmin_all = np.lib.stride_tricks.sliding_window_view(
+                hs, window).min(axis=1)
+            r0 = np.arange(total - window + 1)
+            valid = doc_of[r0] == doc_of[r0 + window - 1]
+            docs_parts.append(doc_of[r0[valid]])
+            vals_parts.append(wmin_all[valid])
+        short_ids = np.flatnonzero(counts < window)
+        if len(short_ids):
+            doc_min = np.minimum.reduceat(hs, offs)
+            docs_parts.append(short_ids)
+            vals_parts.append(doc_min[short_ids])
+        docs_arr = np.concatenate(docs_parts)
+        vals_arr = np.concatenate(vals_parts)
+        # batch-wide distinct + ascending sort per doc (== np.unique)
+        order = np.lexsort((vals_arr, docs_arr))
+        d_s, v_s = docs_arr[order], vals_arr[order]
+        keep = np.ones(len(d_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        d_u, v_u = d_s[keep], v_s[keep].astype(np.int64)
+        bounds = np.cumsum(np.bincount(d_u, minlength=n))[:-1]
+        return pd.Series(np.split(v_u, bounds))
     return documents.select(F.col(id_col), _udf(F.col(text_col)).alias("fingerprint"))

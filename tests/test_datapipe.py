@@ -185,6 +185,40 @@ def test_minhash_batch_matches_single():
         assert list(g) == list(want), t
 
 
+def test_minhash_band_key_poly_equals_hash(spark, docs):
+    """The arithmetic (Horner mod 2^64 decimal) band key and the
+    Murmur3 F.hash key are both proxies for "band signature slices
+    equal" — after the est_jaccard verify the final pair set must be
+    identical on the fixture corpus (the poly key is what the DuckDB
+    oracle mirrors)."""
+    def canon(df):
+        return df.toPandas().sort_values(["left_id", "right_id"]) \
+            .reset_index(drop=True)
+    a = canon(D.minhash_dedup(docs, jaccard_threshold=0.5, band_key="hash"))
+    b = canon(D.minhash_dedup(docs, jaccard_threshold=0.5, band_key="poly"))
+    assert a.equals(b)
+
+
+def test_doc_fingerprint_batch_matches_perdoc(spark):
+    """Batch-vectorized winnowing kernel must be bit-identical to the
+    per-document reference formulation — mixed long/short/empty/unicode
+    docs in one Arrow batch (boundary-straddling windows masked out)."""
+    texts = ["", "ab", "x" * 100, "käse strasse éé unicode bytes",
+             None, "exactly8", "the quick brown fox jumps over the lazy dog",
+             "y" * 23]
+    got = D.doc_fingerprint(
+        spark.createDataFrame(pd.DataFrame({
+            "doc_id": range(len(texts)), "text": texts})).coalesce(1)) \
+        .toPandas().set_index("doc_id")["fingerprint"]
+    for i, t in enumerate(texts):
+        hs = D._shingle_hashes(t or "", 8).astype(np.uint64)
+        if len(hs) >= 16:
+            want = np.lib.stride_tricks.sliding_window_view(hs, 16).min(axis=1)
+        else:
+            want = hs.min(keepdims=True) if len(hs) else np.zeros(1, np.uint64)
+        assert list(got[i]) == list(np.unique(want).astype(np.int64)), t
+
+
 def test_simhash_batch_matches_single():
     texts = ["", "one", "the quick brown fox", "a a a b b", "Ünïcode tökens",
              " ".join(f"w{i%7}" for i in range(500)), None]
