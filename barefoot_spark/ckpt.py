@@ -19,26 +19,50 @@ equality checks (e.g. the tile assignments at local[8] vs local[32]).
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class StageRunner:
+    """All filesystem probes go through the Hadoop FileSystem API (via
+    the JVM), never ``os.path``: the production base_dir is an
+    ``hdfs://``/``s3a://`` URI that the driver's local filesystem cannot
+    see — an ``os.path.exists`` probe there would silently report every
+    stage incomplete and recompute/overwrite instead of resuming."""
+
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
-        self.base = base_dir
-        os.makedirs(base_dir, exist_ok=True)
+        self.base = base_dir.rstrip("/")
+        fs, path = self._fs(self.base)
+        fs.mkdirs(path)
+
+    def _fs(self, path: str):
+        """(FileSystem, Path) for a possibly-scheme-qualified path —
+        resolves hdfs://, s3a://, file:, and bare local paths alike."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return (jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()),
+                jpath)
+
+    def _join(self, *parts: str) -> str:
+        # URI-safe join: os.path.join would mangle scheme-qualified
+        # bases on non-posix drivers and invites accidental absolute-
+        # path resets; stage names never contain "/"
+        return "/".join([self.base, *parts])
+
+    def _exists(self, path: str) -> bool:
+        fs, jpath = self._fs(path)
+        return bool(fs.exists(jpath))
 
     def _out(self, stage: str) -> str:
-        return os.path.join(self.base, stage)
+        return self._join(stage)
 
     def _metrics_path(self) -> str:
-        return os.path.join(self.base, "_metrics")
+        return self._join("_metrics")
 
     def is_complete(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._out(stage), "_SUCCESS"))
+        return self._exists(self._join(stage, "_SUCCESS"))
 
     def _write_metrics(self, stage: str, out_df: DataFrame, wall_ms: float):
         cols = [f.name for f in out_df.schema.fields
@@ -75,11 +99,11 @@ class StageRunner:
     # partition-granular resume
     # ------------------------------------------------------------------
     def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self.base, f"_manifest_{stage}")
+        return self._join(f"_manifest_{stage}")
 
     def completed_keys(self, stage: str):
         path = self._manifest_path(stage)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")) and not os.path.isdir(path):
+        if not self._exists(path):
             return None
         try:
             return self.spark.read.parquet(path)
@@ -107,7 +131,13 @@ class StageRunner:
             wall_ms = (time.time() - t0) * 1000
             self._write_metrics(f"{stage}:{len(keys)}keys",
                                 self.spark.read.parquet(out), wall_ms)
-            (self.spark.createDataFrame([(k,) for k in keys], f"key: long")
+            # manifest schema derives from the key column's actual type
+            # (a hardcoded long would crash on string keys — e.g. the
+            # documented H3-prefix-string partitioning)
+            from pyspark.sql.types import StructField, StructType
+            mschema = StructType(
+                [StructField("key", input_df.schema[key_col].dataType)])
+            (self.spark.createDataFrame([(k,) for k in keys], mschema)
              .write.mode("append").parquet(self._manifest_path(stage)))
         return self.spark.read.parquet(out)
 

@@ -287,6 +287,147 @@ def oracle_knn_join_fast(sf_dir):
     """
 
 
+# Gaussian GPS emission (Matcher.java:218-235, sigma=10 => sig2=100):
+# identical text through Catalyst and DuckDB (both have pi())
+EMISSION_EXPR = ("exp(-(dist_m * dist_m) / 200.0e0) "
+                 "/ sqrt(2.0e0 * pi() * 100.0e0)")
+
+
+def q_emission_stage(spark, sf_dir):
+    """Standalone emission stage of the matcher pipeline — the
+    SQL-expressible slice of SURVEY §2.5 (Matcher.candidates,
+    matcher/Matcher.java:185-238): bounded radius join (codegen
+    planar/haversine refine, radius 200 m) -> directed candidate
+    expansion (RoadMap.Index.split, RoadMap.java:81-97: forward id
+    gid*2 keeps the fraction, backward id gid*2+1 flips it) -> Minset
+    candidate minimization (matcher/Minset.java:28-114) expressed as
+    relational algebra over the successor relation -> Gaussian GPS
+    emission per kept candidate. Every float expression is a shared
+    SQL fragment, so the DuckDB twin hash-checks the first third of
+    the Viterbi pipeline; the kernel's own minset/emission stay pinned
+    by the MinsetTest/MatcherTest goldens."""
+    pts = _points(spark, sf_dir).selectExpr("point_id", "py AS lat", "px AS lon")
+    parts = spark.createDataFrame(_fast_parts_pdf())
+    hits = J.radius_join_fast(pts, parts, 200.0, 15)
+    e = roads.edges_view(roads.roads_df(spark, roads.micro7_pdf())) \
+        .select("edge_id", "gid", "source", "target", "forward")
+    cand = (hits.join(F.broadcast(e), "gid")
+            .select("point_id", "edge_id", "target",
+                    F.when(F.col("forward"), F.col("fraction"))
+                    .otherwise(F.lit(1.0) - F.col("fraction")).alias("efrac"),
+                    F.col("distance").alias("dist_m")))
+    c = (cand.withColumn("is0", F.round("efrac", 8) == 0.0)
+         .withColumn("is1", F.round("efrac", 8) == 1.0))
+    succ = e.select(F.col("source").alias("via"),
+                    F.col("edge_id").alias("succ_edge"))
+    # (candidate, successor) pairs with in-set / fraction~0 flags —
+    # Minset.java's two rules become one anti-join + one count:
+    # a fraction~0 candidate reachable from an in-set candidate is
+    # removed; a fraction~1 candidate with zero "missing" successors
+    # (not in set, or in set with fraction~0) is removed
+    prs = (c.alias("p").join(F.broadcast(succ), F.col("p.target") == F.col("via"))
+           .join(c.alias("q"),
+                 (F.col("q.point_id") == F.col("p.point_id"))
+                 & (F.col("q.edge_id") == F.col("succ_edge")), "left")
+           .select(F.col("p.point_id").alias("point_id"),
+                   F.col("p.edge_id").alias("edge_id"),
+                   F.col("succ_edge"),
+                   F.col("q.edge_id").isNotNull().alias("in_set"),
+                   F.coalesce(F.col("q.is0"), F.lit(False)).alias("succ_is0")))
+    removed = (prs.filter(F.col("in_set") & F.col("succ_is0"))
+               .select("point_id", F.col("succ_edge").alias("edge_id"))
+               .distinct())
+    misses = (prs.groupBy("point_id", "edge_id")
+              .agg(F.sum(((~F.col("in_set")) | F.col("succ_is0")).cast("int"))
+                   .alias("misses")))
+    kept = (c.join(removed.withColumn("_rm", F.lit(True)),
+                   ["point_id", "edge_id"], "left")
+            .join(misses, ["point_id", "edge_id"], "left")
+            .withColumn("misses", F.coalesce("misses", F.lit(0)))
+            .filter(F.col("_rm").isNull())
+            .filter(~(F.col("is1") & (F.col("misses") == 0))))
+    return kept.select("point_id", "edge_id",
+                       F.round("efrac", 8).alias("fraction"),
+                       F.round("dist_m", 3).alias("dist_m"),
+                       F.round(F.expr(EMISSION_EXPR), 9).alias("emission"))
+
+
+def oracle_emission_stage(sf_dir):
+    """DuckDB twin of q_emission_stage: the radius_join_fast fragments
+    at 200 m, the directed-edges VALUES dim, the same Minset relational
+    algebra (round(efrac,8)=0/1 tests are half-up-identical for
+    positive doubles on both engines), and the shared EMISSION_EXPR."""
+    parts = _fast_parts_pdf()
+    vals = ", ".join(
+        f"({int(r.cell)}, {int(r.gid)}, {r.ax!r}e0, {r.ay!r}e0, {r.bx!r}e0, "
+        f"{r.by!r}e0, {r.cum_before!r}e0, {r.seg_len!r}e0, {r.total_len!r}e0)"
+        for r in parts.itertuples(index=False))
+    fr = J.seg_refine_sql(200.0)
+    cexpr = T.cell_expr_sql("lat", "lon", 15)
+    rvals = _roads_vals(roads.micro7_pdf())
+    return f"""
+        WITH parts(cell, gid, ax, ay, bx, by, cum_before, seg_len, total_len)
+             AS (VALUES {vals}),
+        pts AS (SELECT point_id, py AS lat, px AS lon FROM ({POINTS_SQL_BODY})),
+        cand0 AS (
+            SELECT point_id, gid, {fr['dist']} AS dist_m, {fr['frac']} AS fraction
+            FROM pts JOIN parts ON parts.cell = {cexpr}
+        ), hits AS (
+            SELECT point_id, gid, min(dist_m) AS dist_m,
+                   min_by(fraction, dist_m) AS fraction
+            FROM cand0 WHERE dist_m <= 200.0e0 GROUP BY point_id, gid
+        ),
+        r(gid, source, target, oneway, maxspeed_forward, maxspeed_backward,
+          class_id, priority, length) AS (VALUES {rvals}),
+        e AS (
+            SELECT gid * 2 AS edge_id, gid, source, target, true AS forward
+            FROM r
+            UNION ALL
+            SELECT gid * 2 + 1, gid, target, source, false
+            FROM r WHERE NOT oneway
+        ),
+        c AS (
+            SELECT h.point_id, e.edge_id, e.target,
+                   CASE WHEN e.forward THEN h.fraction
+                        ELSE 1.0e0 - h.fraction END AS efrac,
+                   h.dist_m,
+                   round(CASE WHEN e.forward THEN h.fraction
+                              ELSE 1.0e0 - h.fraction END, 8) = 0 AS is0,
+                   round(CASE WHEN e.forward THEN h.fraction
+                              ELSE 1.0e0 - h.fraction END, 8) = 1 AS is1
+            FROM hits h JOIN e ON e.gid = h.gid
+        ),
+        succ AS (SELECT source AS via, edge_id AS succ_edge FROM e),
+        prs AS (
+            SELECT p.point_id, p.edge_id, s.succ_edge,
+                   q.edge_id IS NOT NULL AS in_set,
+                   coalesce(q.is0, false) AS succ_is0
+            FROM c p JOIN succ s ON s.via = p.target
+            LEFT JOIN c q ON q.point_id = p.point_id
+                         AND q.edge_id = s.succ_edge
+        ),
+        removed AS (
+            SELECT DISTINCT point_id, succ_edge AS edge_id FROM prs
+            WHERE in_set AND succ_is0
+        ),
+        msx AS (
+            SELECT point_id, edge_id,
+                   sum(CASE WHEN (NOT in_set) OR succ_is0
+                       THEN 1 ELSE 0 END) AS misses
+            FROM prs GROUP BY point_id, edge_id
+        )
+        SELECT c.point_id, c.edge_id, round(c.efrac, 8) AS fraction,
+               round(c.dist_m, 3) AS dist_m,
+               round({EMISSION_EXPR}, 9) AS emission
+        FROM c
+        LEFT JOIN msx m ON m.point_id = c.point_id AND m.edge_id = c.edge_id
+        WHERE NOT EXISTS (SELECT 1 FROM removed rm
+                          WHERE rm.point_id = c.point_id
+                            AND rm.edge_id = c.edge_id)
+          AND NOT (c.is1 AND coalesce(m.misses, 0) = 0)
+    """
+
+
 def q_knn_join(spark, sf_dir):
     pts = _points(spark, sf_dir)
     segs = _segs(spark)
@@ -998,14 +1139,71 @@ def oracle_connected_components(sf_dir):
 
 
 def q_dbscan_clusters(spark, sf_dir):
-    """Geodesic DBSCAN over orders-derived points (cell-bucketed
-    eps-graph + label propagation — iterative, rows-only)."""
+    """DBSCAN over orders-derived points (cell-bucketed eps-graph +
+    large-star/small-star components + border attachment). Runs the
+    real distributed operator with metric="haversine" (the SQL-twin
+    metric; the reference-parity Vincenty path keeps its brute-force
+    NYC pytest) so the full pipeline is value-checked by the DuckDB
+    oracle: eps-neighbor self-join -> core census -> recursive-CTE
+    component closure -> min-core-neighbor border attach."""
     pts = _points(spark, sf_dir).filter(F.col("point_id") % 5 == 0) \
         .selectExpr("point_id", "py AS lat", "px AS lon")
-    out = A.dbscan_2d(pts, eps_m=120.0, min_pts=4)
+    out = A.dbscan_2d(pts, eps_m=120.0, min_pts=4, metric="haversine")
     return out.select("point_id",
                       F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cluster_id")) \
         .orderBy("point_id")
+
+
+def _hav_sql(alat, alon, blat, blon):
+    """Spherical haversine SQL in analysis.haversine_np's exact op
+    order (the dbscan_2d oracle metric)."""
+    return (f"2.0e0 * {_R_SPHERE} * asin(sqrt("
+            f"pow(sin(radians(({blat}) - ({alat})) / 2.0e0), 2) "
+            f"+ cos(radians({alat})) * cos(radians({blat})) "
+            f"* pow(sin(radians(({blon}) - ({alon})) / 2.0e0), 2)))")
+
+
+def oracle_dbscan_clusters(sf_dir):
+    """Independent-algorithm DBSCAN twin (eps=120 m, min_pts=4): exact
+    pairwise haversine eps-graph (with a generous bbox prefilter — 120 m
+    is < 0.0011 deg lat / < 0.0017 deg lon at lat 48, bounds 0.002/
+    0.0025 keep a 1.5x margin so no true edge is cut), core = deg+1 >=
+    min_pts, components of the core subgraph via recursive-CTE
+    reachability with min-label (vs Spark's large-star/small-star), and
+    border points attached to the MIN core-neighbor label exactly as
+    the operator's step 4. Noise -> -1."""
+    hav = _hav_sql("a.py", "a.px", "b.py", "b.px")
+    return f"""
+        WITH RECURSIVE
+        pts AS (SELECT point_id, px, py FROM ({POINTS_SQL_BODY})
+                WHERE point_id % 5 = 0),
+        e AS (SELECT a.point_id AS a, b.point_id AS b
+              FROM pts a JOIN pts b
+                ON a.point_id <> b.point_id
+               AND abs(a.py - b.py) <= 0.002e0
+               AND abs(a.px - b.px) <= 0.0025e0
+              WHERE {hav} <= 120.0e0),
+        deg AS (SELECT a, count(*) AS nbrs FROM e GROUP BY a),
+        core AS (SELECT p.point_id AS v FROM pts p
+                 LEFT JOIN deg d ON d.a = p.point_id
+                 WHERE coalesce(d.nbrs, 0) + 1 >= 4),
+        ce AS (SELECT e.a, e.b FROM e
+               JOIN core c1 ON c1.v = e.a JOIN core c2 ON c2.v = e.b),
+        reach(v, lbl) AS (
+            SELECT v, v FROM core
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN ce u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS component FROM reach GROUP BY v),
+        border AS (SELECT e.a, min(c.component) AS blabel
+                   FROM e JOIN comp c ON c.v = e.b GROUP BY e.a)
+        SELECT p.point_id,
+               coalesce(c.component, b.blabel, -1) AS cluster_id
+        FROM pts p
+        LEFT JOIN comp c ON c.v = p.point_id
+        LEFT JOIN border b ON b.a = p.point_id
+        ORDER BY p.point_id
+    """
 
 
 def q_ivf_ann_topk(spark, sf_dir):
@@ -1323,6 +1521,87 @@ def q_simhash_dedup(spark, sf_dir):
         .select("left_id", "right_id", F.col("hamming").cast("long").alias("hamming"))
 
 
+def oracle_simhash_dedup(sf_dir):
+    """HUGEINT twin of the full simhash_dedup pipeline (max_hamming=3,
+    4 blocks x 16 bits): FNV-1a per token as a recursive CTE over byte
+    positions (h = (xor(h, byte) * prime) mod 2^64 — xor works on
+    HUGEINT, the multiply wraps via explicit modulus since 2^104 fits
+    128 bits), per-bit majority votes over all token OCCURRENCES
+    (duplicates kept, exactly Python's text.lower().split()),
+    block-banded candidate pairs, and bit_count(xor) hamming verify on
+    the signed-BIGINT representation (two's-complement-identical to
+    Spark's shiftright/bit_count). Tokenizer parity assumptions hold on
+    the fixture corpus (verified: ASCII, no \\v/\\f/\\t/\\r, no
+    leading/trailing whitespace), so regexp \\s+ splitting == Python
+    str.split(); lower() is ASCII-identical."""
+    m64 = "18446744073709551616::HUGEINT"
+    basis = "14695981039346656037::HUGEINT"   # 0xCBF29CE484222325
+    prime = "1099511628211::HUGEINT"          # 0x100000001B3
+    p2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    blk = ", ".join(f"({i}, {1 << (16 * i)}::HUGEINT)" for i in range(4))
+    return f"""
+        WITH RECURSIVE
+        p2(b, v) AS (VALUES {p2}),
+        blkdim(blk, shift) AS (VALUES {blk}),
+        ts AS (SELECT doc_id,
+                      string_split_regex(lower(coalesce(text, '')), '\\s+') AS toks
+               FROM documents),
+        tok AS (SELECT d.doc_id, g.i, d.toks[g.i] AS tok
+                FROM ts d, LATERAL (SELECT unnest(generate_series(
+                    1, len(d.toks))) AS i) g
+                WHERE length(d.toks[g.i]) > 0),
+        fnv(doc_id, i, pos, h) AS (
+            SELECT doc_id, i, 0, {basis} FROM tok
+            UNION ALL
+            SELECT f.doc_id, f.i, f.pos + 1,
+                   (xor(f.h, ascii(substr(t.tok, f.pos + 1, 1))::HUGEINT)
+                    * {prime}) % {m64}
+            FROM fnv f JOIN tok t ON t.doc_id = f.doc_id AND t.i = f.i
+            WHERE f.pos < length(t.tok)
+        ),
+        hashes AS (
+            SELECT f.doc_id, f.i, f.h
+            FROM fnv f JOIN tok t ON t.doc_id = f.doc_id AND t.i = f.i
+            WHERE f.pos = length(t.tok)
+        ),
+        votes AS (
+            SELECT h.doc_id, p2.b,
+                   sum(CASE WHEN (h.h // p2.v) % 2 = 1 THEN 1 ELSE -1 END)
+                       AS vote
+            FROM hashes h, p2 GROUP BY h.doc_id, p2.b
+        ),
+        shu AS (   -- unsigned simhash per doc; token-less docs -> 0
+            SELECT d.doc_id,
+                   coalesce((SELECT sum(p2.v)
+                             FROM votes v JOIN p2 ON p2.b = v.b
+                             WHERE v.doc_id = d.doc_id AND v.vote > 0),
+                            0::HUGEINT) AS uv
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+        ),
+        sh AS (    -- signed 64-bit view (Spark's LongType simhash)
+            SELECT doc_id, uv,
+                   CAST(CASE WHEN uv >= 9223372036854775808::HUGEINT
+                             THEN uv - {m64}
+                             ELSE uv END AS BIGINT) AS sv
+            FROM shu
+        ),
+        blocks AS (
+            SELECT s.doc_id, s.sv, b.blk,
+                   (s.uv // b.shift) % 65536::HUGEINT AS key
+            FROM sh s, blkdim b
+        ),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+                   l.sv AS lh, r.sv AS rh
+            FROM blocks l JOIN blocks r
+              ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+        )
+        SELECT left_id, right_id,
+               CAST(bit_count(xor(lh, rh)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(lh, rh)) <= 3
+    """
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Word-trigram Jaccard verify stage (pure Catalyst higher-order
     functions) over deterministic candidate pairs: every 7th doc with
@@ -1480,6 +1759,7 @@ QUERIES = {
     "nearest_join": q_nearest_join,
     "point_in_polygon": q_point_in_polygon,
     "raster_vector_join": q_raster_vector,
+    "emission_stage": q_emission_stage,
     "viterbi_match": q_viterbi_match,
     "route_geojson": q_route_geojson,
     "lineitem_pricing": q_lineitem_pricing,
@@ -1524,6 +1804,7 @@ ORACLES = {
     "nearest_join": oracle_nearest_join,
     "point_in_polygon": oracle_point_in_polygon,
     "raster_vector_join": oracle_raster_vector,
+    "emission_stage": oracle_emission_stage,
     "lineitem_pricing": oracle_lineitem_pricing,
     "top_customers": oracle_top_customers,
     "event_sessions": oracle_event_sessions,
@@ -1540,7 +1821,9 @@ ORACLES = {
     "dbrcan_function": oracle_dbrcan_function,
     "connected_components": oracle_connected_components,
     "minhash_dedup": oracle_minhash_dedup,
-    # viterbi_match / simhash_dedup / image_verify: non-SQL-expressible
-    # (stateful kernel or seeded signature UDFs) -> rows-only check per
-    # the driver contract
+    "simhash_dedup": oracle_simhash_dedup,
+    "dbscan_clusters": oracle_dbscan_clusters,
+    # viterbi_match / image_verify / media queries: non-SQL-expressible
+    # (stateful kernel or binary codecs) -> rows-only check per the
+    # driver contract
 }

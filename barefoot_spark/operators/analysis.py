@@ -175,8 +175,21 @@ def dbcan_1d_oracle_sql(table: str, eps: float, min_pts: int,
     """
 
 
+def haversine_np(alat, alon, blat, blon):
+    """Spherical haversine distance (meters) in the exact IEEE op order
+    of entry_queries.seg_dist_expr's SQL text (R = 6371008.8) — the
+    oracle-parity metric for dbscan_2d(metric="haversine"): identical
+    doubles in numpy and DuckDB mean the eps-edge set (a discrete
+    outcome) matches between engines."""
+    return 2.0 * 6371008.8 * np.arcsin(np.sqrt(
+        np.sin(np.radians(blat - alat) / 2.0) ** 2
+        + np.cos(np.radians(alat)) * np.cos(np.radians(blat))
+        * np.sin(np.radians(blon - alon) / 2.0) ** 2))
+
+
 def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
-              id_col="point_id", max_rounds: int = 30) -> DataFrame:
+              id_col="point_id", max_rounds: int = 30,
+              metric: str = "geodesic") -> DataFrame:
     """Geodesic DBSCAN. Stages:
     1. self radius-join via cell buckets (cover each point's eps
        envelope, equi-join on cell, exact geodesic refine in a pandas
@@ -186,16 +199,24 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
        iterative min-label propagation (each round: join labels across
        edges, take min; stop when stable);
     4. border points attach to the min core-neighbor label.
-    Returns (point_id, cluster_id NULL for noise)."""
+    Returns (point_id, cluster_id NULL for noise).
+
+    metric: "geodesic" (Vincenty — the reference's DBSCAN.java:66-82
+    semantics) or "haversine" (spherical, haversine_np — SQL-twinnable
+    for the DuckDB value oracle; the cell cover is padded 1% since the
+    envelope prefilter is geodesic and sphere/ellipsoid distances can
+    differ by up to ~0.6%, over-coverage being harmless)."""
     res = cells.res_for_edge_m(max(eps_m, 1.0) * 2)
     pts = points.select(id_col, "lat", "lon").cache()
+    cover_m = eps_m * 1.01 if metric == "haversine" else eps_m
+    dist_fn = haversine_np if metric == "haversine" else geo.distance
 
     # 1. candidate pairs: points sharing a cell of the eps-cover
     def cover(pdf_iter):
         for pdf in pdf_iter:
             lat = pdf["lat"].to_numpy(np.float64)
             lon = pdf["lon"].to_numpy(np.float64)
-            row, cell = cells.cover_radius(lat, lon, eps_m, res)
+            row, cell = cells.cover_radius(lat, lon, cover_m, res)
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy()[row],
                 "lat": lat[row], "lon": lon[row], "cell": cell})
@@ -224,8 +245,8 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            d = geo.distance(pdf["alat"].to_numpy(), pdf["alon"].to_numpy(),
-                             pdf["blat"].to_numpy(), pdf["blon"].to_numpy())
+            d = dist_fn(pdf["alat"].to_numpy(), pdf["alon"].to_numpy(),
+                        pdf["blat"].to_numpy(), pdf["blon"].to_numpy())
             keep = d <= eps_m
             yield pdf.loc[keep, ["a", "b"]]
 
@@ -244,9 +265,14 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
     # chain-shaped clusters took ~25 rounds x 2 blocking jobs each)
     from .. import graphx
     core_ids = core.filter("is_core").select(F.col(id_col).alias("node"))
+    # no .cache() here: components_star_nodes localCheckpoints its
+    # symmetrized copy immediately, so a cache entry would be consumed
+    # once and then leak for the session (cache entries are never
+    # auto-unpersisted — the exact leak the localCheckpoint pattern in
+    # graphx avoids)
     cc_edges = (edges.join(core_ids.withColumnRenamed("node", "a"), "a")
                 .join(core_ids.withColumnRenamed("node", "b"), "b")
-                .select("a", "b").cache())
+                .select("a", "b"))
     star = graphx.components_star_nodes(cc_edges, max_rounds)
     # isolated cores (no core-core edge) and component roots label
     # themselves (components_star_nodes omits roots by construction)

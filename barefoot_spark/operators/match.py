@@ -71,6 +71,14 @@ class MatcherParams:
     # TrackerServer.java:168 / KState.java:182 reject only strictly
     # out-of-order samples, equal times pass through.
     dup_time: str = "error"
+    # cap on distinct source-edge Dijkstra trees kept in the shared
+    # per-partition route cache (route_ssmt_cached): the cache is reset
+    # when the cap is hit, so kernel memory is bounded by this knob
+    # instead of growing with the partition's trace content on a
+    # continental map. Results are cap-invariant (any eviction only
+    # forces a recompute) — pinned by the parameterized
+    # match_trace cache-equivalence test.
+    route_cache_max_edges: int = 4096
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +238,8 @@ def prepare_targets(idx: RoadIndex, targets):
 
 
 def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
-                      bound_max, cache: dict, prepared=None):
+                      bound_max, cache: dict, prepared=None,
+                      cache_max: int = _TREE_CACHE_MAX):
     """route_ssmt with a shared per-source-edge tree cache (SURVEY §7's
     route-cache plan). Exact same results as route_ssmt — the replay
     walks the recorded pop sequence in cost order, synthesizing reach
@@ -255,7 +264,7 @@ def route_ssmt_cached(idx: RoadIndex, src, targets, cost_vec, bound_vec,
     se = int(se)
     tree = cache.get(se)
     if tree is None:
-        if len(cache) >= _TREE_CACHE_MAX:
+        if len(cache) >= cache_max:
             cache.clear()
         tree = cache[se] = _EdgeTree(idx, se, cost_vec, bound_vec)
     K1 = cost_vec[se] * (1.0 - sf)
@@ -645,7 +654,8 @@ def forward_step(idx: RoadIndex, params: MatcherParams, prev_vector,
             if route_cache is not None:
                 paths = route_ssmt_cached(idx, (p.eidx, p.frac), targets,
                                           cost_rt_list, bound_list, bound,
-                                          route_cache, prepared=prepared)
+                                          route_cache, prepared=prepared,
+                                          cache_max=params.route_cache_max_edges)
             else:
                 paths = route_ssmt(idx, (p.eidx, p.frac), targets, cost_vec,
                                    bound_vec, bound)

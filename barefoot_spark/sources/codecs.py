@@ -49,6 +49,17 @@ class StandInImageCodec:
             f"codec for fmt={fmt!r} not available in this container")
 
     def decode(self, data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+        # mixed-fleet guard (the mirror of PillowImageCodec's zlib
+        # sniff): blobs written by a REAL codec start 0x89 (PNG) or
+        # 0xFF 0xD8 (JPEG), not a zlib CMF byte — fail with an
+        # actionable message instead of a cryptic zlib.error deep in a
+        # task when a worker without Pillow reads Pillow-written data
+        if data[:1] == b"\x89" or data[:2] == b"\xff\xd8":
+            raise RuntimeError(
+                "image bytes were encoded with a real codec "
+                "(PNG/JPEG magic found); the stand-in codec cannot "
+                "decode them — install Pillow on this worker so the "
+                "PillowImageCodec adapter resolves")
         raw = np.frombuffer(zlib.decompress(data),
                             dtype=np.uint8).reshape(h, w, 3)
         if fmt == "png":

@@ -55,6 +55,49 @@ def test_dbscan_2d_geodesic(spark):
     assert pd.isna(c[50])
 
 
+def test_dbscan_2d_haversine_matches_bruteforce(spark):
+    """metric="haversine" (the DuckDB-oracle metric) must equal a
+    brute-force numpy DBSCAN using the identical haversine formula:
+    same cores, same min-label components, same min-core-neighbor
+    border attachment, same noise."""
+    rng = np.random.default_rng(21)
+    lat = 48.0 + rng.uniform(0, 0.02, 120)
+    lon = 11.0 + rng.uniform(0, 0.03, 120)
+    eps_m, min_pts = 150.0, 4
+    pdf = pd.DataFrame({"point_id": np.arange(120), "lat": lat, "lon": lon})
+    out = A.dbscan_2d(spark.createDataFrame(pdf), eps_m=eps_m,
+                      min_pts=min_pts, metric="haversine") \
+        .toPandas().sort_values("point_id")["cluster_id"] \
+        .fillna(-1).astype(int).to_numpy()
+
+    d = A.haversine_np(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+    adj = (d <= eps_m) & ~np.eye(120, dtype=bool)
+    core = adj.sum(axis=1) + 1 >= min_pts
+    label = np.where(core, np.arange(120), -1)
+    changed = True
+    while changed:      # min-label propagation over the core subgraph
+        changed = False
+        for i in np.flatnonzero(core):
+            nb = np.flatnonzero(adj[i] & core)
+            if len(nb):
+                m = min(label[i], label[nb].min())
+                if m < label[i]:
+                    label[i] = m
+                    changed = True
+                for j in nb:
+                    if m < label[j]:
+                        label[j] = m
+                        changed = True
+    want = np.full(120, -1)
+    want[core] = label[core]
+    for i in np.flatnonzero(~core):
+        nb = np.flatnonzero(adj[i] & core)
+        if len(nb):
+            want[i] = label[nb].min()
+    assert list(out) == list(want)
+    assert (want >= 0).any() and (want == -1).any()   # non-trivial case
+
+
 def test_dbrcan_wraps_midnight(spark):
     # time-of-day ring: cluster spanning midnight (23.9h + 0.1h)
     vals = np.array([23.8, 23.9, 23.95, 0.05, 0.1, 0.2, 12.0, 12.05, 12.1, 6.0])

@@ -53,6 +53,60 @@ def test_checksum_stable_across_parallelism(spark, points_df, tmp_path):
     assert c1 == c2  # identical tile assignments at any parallelism
 
 
+def test_stage_runner_scheme_qualified_uri(spark, points_df, tmp_path):
+    """Completion/manifest probes must go through the Hadoop FS API, not
+    os.path: a scheme-qualified base (here file:, standing in for
+    hdfs://—s3a:// on a cluster) must still detect completed stages and
+    resume instead of recomputing. os.path.exists('file:/...') is False
+    on every POSIX driver, which is exactly the silent-recompute bug
+    this guards against."""
+    base = "file:" + str(tmp_path / "sch")
+    runner = StageRunner(spark, base)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return T.assign_tiles(points_df, res=14)
+
+    out1 = runner.run_stage("tiles", build)
+    assert out1.count() == 2000
+    assert runner.is_complete("tiles")
+    # a FRESH runner over the same URI resumes (no driver-local state)
+    runner2 = StageRunner(spark, base)
+    out2 = runner2.run_stage("tiles", build)
+    assert len(calls) == 1
+    assert out2.count() == 2000
+    # scheme-aware joins: outputs actually landed under the URI
+    assert (tmp_path / "sch" / "tiles" / "_SUCCESS").exists()
+
+
+def test_partitioned_resume_string_key(spark, tmp_path):
+    """run_partitioned_stage with a STRING partition key (the
+    documented H3-prefix-string use case): the manifest schema must
+    derive from the key column type, not assume long."""
+    pdf = pd.DataFrame({"point_id": np.arange(40),
+                        "pfx": [f"cell{i % 4}" for i in range(40)]})
+    df = spark.createDataFrame(pdf)
+    runner = StageRunner(spark, "file:" + str(tmp_path / "sk"))
+    calls = []
+
+    def transform(d):
+        calls.append(d.select("pfx").distinct().count())
+        return d.withColumn("flag", F.lit(1))
+
+    out1 = runner.run_partitioned_stage("s", df, "pfx", transform)
+    assert out1.count() == 40 and calls == [4]
+    out2 = runner.run_partitioned_stage("s", df, "pfx", transform)
+    assert out2.count() == 40 and calls == [4]   # full resume
+    extra = spark.createDataFrame(pd.DataFrame(
+        {"point_id": [99], "pfx": ["cell9"]}))
+    out3 = runner.run_partitioned_stage("s", df.unionByName(extra),
+                                        "pfx", transform)
+    assert out3.count() == 41 and calls == [4, 1]
+    keys = {r[0] for r in runner.completed_keys("s").collect()}
+    assert keys == {"cell0", "cell1", "cell2", "cell3", "cell9"}
+
+
 def test_partitioned_resume(spark, points_df, tmp_path):
     runner = StageRunner(spark, str(tmp_path))
     tiled = T.assign_tiles(points_df, res=14, parent_res=2)

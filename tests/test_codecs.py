@@ -62,6 +62,17 @@ def test_standin_image_roundtrip_unchanged():
         IM.decode_image(png, 32, 24, "webp")
 
 
+def test_standin_rejects_real_codec_blobs():
+    """Mixed-fleet downgrade path: the stand-in must refuse real
+    PNG/JPEG bytes with an actionable message (install Pillow), not
+    die in zlib.decompress deep inside a task."""
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    jpg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    for blob in (png_magic, jpg_magic):
+        with pytest.raises(RuntimeError, match="install Pillow"):
+            C.StandInImageCodec().decode(blob, 4, 4, "png")
+
+
 def test_custom_codec_drops_in():
     """A custom codec honoring the interface slots into every consumer
     (encode_image/decode_image, resize path) without code changes —

@@ -524,9 +524,13 @@ def test_route_cache_exact_ties_and_bound():
             assert got == want, (se, sf, targets, bound)
 
 
-def test_match_trace_route_cache_equivalence():
+@pytest.mark.parametrize("cache_cap", [1, 2, 4096])
+def test_match_trace_route_cache_equivalence(cache_cap):
     """match_trace with a shared route cache emits exactly the rows the
-    uncached path emits (same estimates, same routes, same probs)."""
+    uncached path emits (same estimates, same routes, same probs) — at
+    ANY route_cache_max_edges cap, including a pathological cap of 1
+    (every new source edge evicts the whole cache), proving the memory
+    bound cannot change results."""
     from barefoot_spark import roads as R
     from barefoot_spark.index import RoadIndex
     from barefoot_spark.sources import samples as SS
@@ -534,12 +538,15 @@ def test_match_trace_route_cache_equivalence():
     idx = RoadIndex(R.grid_pdf(12, seed=42), res=16)
     pdf = SS.synth_traces(idx, n_traces=8, samples_per_trace=40, seed=9)
     cache: dict = {}
+    params = M.MatcherParams(route_cache_max_edges=cache_cap)
     for tid, g in pdf.groupby("trace_id"):
-        args = (idx, tid, g["sample_id"].to_numpy(),
+        base = (idx, tid, g["sample_id"].to_numpy(),
                 g["time"].to_numpy(np.int64),
                 g["lat"].to_numpy(np.float64), g["lon"].to_numpy(np.float64),
-                g["azimuth"].to_numpy(np.float64), M.MatcherParams())
-        assert M.match_trace(*args, route_cache=cache) == M.match_trace(*args)
+                g["azimuth"].to_numpy(np.float64))
+        assert M.match_trace(*base, params, route_cache=cache) \
+            == M.match_trace(*base, M.MatcherParams())
+        assert len(cache) <= cache_cap   # cap enforced (reset-on-hit)
 
 
 def test_duplicate_timestamp_gate():

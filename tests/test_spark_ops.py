@@ -309,4 +309,10 @@ def test_postgis_jdbc_live_load(spark):
     rows = df.limit(5).collect()
     assert {"gid", "osm_id", "class_id", "source", "target",
             "geom"} <= set(df.columns)
-    assert len(rows) >= 0
+    # a realistic OSM import has rows in the gid window, and the WKB
+    # geometry must decode (a vacuous >= 0 would let the smoke pass on
+    # an empty/miswired database)
+    assert len(rows) > 0
+    from barefoot_spark import wkbio
+    coords = wkbio.wkb_to_linestring(bytes(rows[0]["geom"]))
+    assert len(coords) >= 2
