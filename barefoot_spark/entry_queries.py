@@ -961,16 +961,81 @@ def oracle_dbrcan_mod_events(sf_dir):
 
 def q_lsh_ann_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (multiprobe hamming <= 2, exact
-    cosine re-rank in the probed set) — the scale path whose exact
-    twin is ann_topk; recall is pytest-verified, so rows-only here."""
+    cosine re-rank in the probed set) — the scale path whose exact twin
+    is ann_topk. Oracle-checked: bucket_impl="expr" computes the
+    hyperplane bits as Catalyst sequential-fold dots (bit-identical to
+    DuckDB list_dot_product), so the probe expansion, bucket join and
+    re-rank all mirror into SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
-    out = DP.lsh_bucket_topk(emb, queries, k=10, dim=64)
+    out = DP.lsh_bucket_topk(emb, queries, k=10, dim=64, bucket_impl="expr")
     return out.select("q_id", "vec_id",
                       F.col("rank").cast("long").alias("rnk"),
                       F.round("cosine", 6).alias("cosine"))
+
+
+def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> list:
+    """DuckDB DOUBLE[] literals for the seeded hyperplanes — repr()
+    round-trips every binary64 exactly, matching F.lit on the Spark
+    side."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    return ["[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            for p in planes]
+
+
+def _bucket_sql(planes_sql: list, vec: str) -> str:
+    """Bucket code = sum of 2^i over planes with dot(v, plane_i) > 0 —
+    the SQL twin of datapipe.hyperplane_bucket_col."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {p}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes_sql))
+
+
+_COS_SQL = ("list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) "
+            "* sqrt(list_dot_product(r.v, r.v)))")
+
+
+def oracle_lsh_ann_topk(sf_dir):
+    """DuckDB twin of q_lsh_ann_topk (n_planes=12, seed=42,
+    probe_hamming<=2, k=10): hyperplane buckets from seeded plane
+    literals, the 79 probe masks as a VALUES dim, xor probe expansion,
+    DISTINCT (q, vec) candidates, exact cosine re-rank. Zero-norm
+    embeddings would be NULL-cosine on Spark (ranked last) vs NaN-first
+    on DuckDB — the fixture has none (min squared norm ~1.0), and the
+    norm>0 guard documents the equivalence."""
+    ps = _planes_sql(12)
+    n_planes = 12
+    masks = [0] + [1 << i for i in range(n_planes)] + \
+        [(1 << i) | (1 << j) for i in range(n_planes)
+         for j in range(i + 1, n_planes)]
+    mvals = ", ".join(f"({m})" for m in masks)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket_sql(ps, 'v')} AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket
+              FROM b WHERE vec_id < 5),
+        masks(m) AS (VALUES {mvals}),
+        probe AS (SELECT q_id, qv, xor(qbucket, m) AS bucket
+                  FROM q, masks),
+        joined AS (
+            SELECT DISTINCT p.q_id, l.vec_id,
+                   list_dot_product(l.v, p.qv)
+                   / (sqrt(list_dot_product(l.v, l.v))
+                      * sqrt(list_dot_product(p.qv, p.qv))) AS cosine
+            FROM probe p JOIN b l ON l.bucket = p.bucket
+            WHERE list_dot_product(l.v, l.v) > 0
+        ),
+        r AS (SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, vec_id) AS rnk
+              FROM joined)
+        SELECT q_id, vec_id, rnk, round(cosine, 6) AS cosine
+        FROM r WHERE rnk <= 10
+    """
 
 
 def q_cosine_pairs_exact(spark, sf_dir):
@@ -1021,11 +1086,36 @@ def oracle_cosine_pairs_exact(sf_dir):
 
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs via LSH self-join + exact cosine
-    refine (rows-only: seeded hyperplane buckets)."""
+    refine, running the REAL operator (hot-bucket salt-tiling guard
+    included — inactive at gate scale, 500 rows << bucket_cap, so the
+    salt keys collapse to the plain bucket join the oracle mirrors).
+    bucket_impl="expr" makes the hyperplane bits DuckDB-exact."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = DP.cosine_near_dup(emb, threshold=0.25, dim=64)
+    out = DP.cosine_near_dup(emb, threshold=0.25, dim=64,
+                             bucket_impl="expr")
     return out.select("left_id", "right_id",
                       F.round("cosine", 6).alias("cosine"))
+
+
+def oracle_cosine_near_dup(sf_dir):
+    """DuckDB twin of q_cosine_near_dup (n_planes=10, seed=42,
+    threshold=0.25): same-bucket pairs with left<right and the exact
+    sequential-fold cosine filter. The salt-tiling guard is provably a
+    no-op below bucket_cap (pair set exactly preserved by design and by
+    the adversarial pytest), so the plain bucket self-join is the
+    faithful mirror at gate scale."""
+    ps = _planes_sql(10)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_bucket_sql(ps, 'v')} AS bucket FROM e)
+        SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+               round({_COS_SQL}, 6) AS cosine
+        FROM b l JOIN b r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE list_dot_product(l.v, l.v) > 0
+          AND list_dot_product(r.v, r.v) > 0
+          AND {_COS_SQL} >= 0.25
+    """
 
 
 def q_x0001_match(spark, sf_dir):
@@ -1793,8 +1883,6 @@ ORACLES = {
     "subsample_traces": oracle_subsample_traces,
     "candidate_sequence": oracle_candidate_sequence,
     "dbrcan_mod_events": oracle_dbrcan_mod_events,
-    # lsh_ann_topk / cosine_near_dup: seeded hyperplane UDF buckets ->
-    # rows-only (exact twins: ann_topk / cosine_pairs_exact)
     "cosine_pairs_exact": oracle_cosine_pairs_exact,
     "radius_join": oracle_radius_join,
     "radius_join_fast": oracle_radius_join_fast,
@@ -1823,6 +1911,8 @@ ORACLES = {
     "minhash_dedup": oracle_minhash_dedup,
     "simhash_dedup": oracle_simhash_dedup,
     "dbscan_clusters": oracle_dbscan_clusters,
+    "cosine_near_dup": oracle_cosine_near_dup,
+    "lsh_ann_topk": oracle_lsh_ann_topk,
     # viterbi_match / image_verify / media queries: non-SQL-expressible
     # (stateful kernel or binary codecs) -> rows-only check per the
     # driver contract

@@ -420,15 +420,42 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def hyperplane_bucket_col(planes: np.ndarray, vec_col: str):
+    """Pure-Catalyst hyperplane LSH bucket: bit i = (dot(v, plane_i)
+    > 0) with the dot as a sequential zip_with/aggregate fold over
+    literal plane arrays. Whole-stage codegen (no Python worker in the
+    bucket stage), and — unlike the numpy-matmul UDF, whose SIMD
+    summation order is unspecified — the fold is IEEE-identical to
+    DuckDB's list_dot_product (proven bit-equal by the hash-green
+    cosine_pairs_exact oracle), which is what lets the LSH pipelines
+    run under DuckDB value oracles."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(F.col(vec_col), arr,
+                                     lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit(int(1 << i)))
+                    .otherwise(F.lit(0)).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int,
                     n_planes: int = 12, seed: int = 42, dim: int = 64,
                     id_col="vec_id", vec_col="embedding",
                     q_id_col="q_id", q_vec_col="q_vec",
-                    probe_hamming: int = 2) -> DataFrame:
+                    probe_hamming: int = 2,
+                    bucket_impl: str = "udf") -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucket per vector, probe
     buckets within `probe_hamming` bit flips of the query bucket, exact
     cosine re-rank inside the probed set. Recall < 1 by construction;
-    the bucket equi-join replaces the full cross join."""
+    the bucket equi-join replaces the full cross join.
+
+    bucket_impl: "udf" (numpy matmul per Arrow batch) or "expr"
+    (hyperplane_bucket_col — codegen fold, DuckDB-oracle-exact)."""
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
 
@@ -441,7 +468,18 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             out |= bits[:, i].astype(np.int64) << i
         return pd.Series(out)
 
-    emb_b = embeddings.withColumn("bucket", bucket_udf(F.col(vec_col)))
+    if bucket_impl == "expr":
+        emb_b = (embeddings
+                 .withColumn("__vd", F.col(vec_col).cast("array<double>"))
+                 .withColumn("bucket", hyperplane_bucket_col(planes, "__vd"))
+                 .drop("__vd"))
+        q_base = (queries
+                  .withColumn("__vd", F.col(q_vec_col).cast("array<double>"))
+                  .withColumn("qbucket", hyperplane_bucket_col(planes, "__vd"))
+                  .drop("__vd"))
+    else:
+        emb_b = embeddings.withColumn("bucket", bucket_udf(F.col(vec_col)))
+        q_base = queries.withColumn("qbucket", bucket_udf(F.col(q_vec_col)))
     # query-side: expand to all buckets within probe_hamming
     probe_masks = [0]
     if probe_hamming >= 1:
@@ -449,7 +487,7 @@ def lsh_bucket_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     if probe_hamming >= 2:
         probe_masks += [(1 << i) | (1 << j)
                         for i in range(n_planes) for j in range(i + 1, n_planes)]
-    q_b = (queries.withColumn("qbucket", bucket_udf(F.col(q_vec_col)))
+    q_b = (q_base
            .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in probe_masks])))
            .withColumn("bucket", F.col("qbucket").bitwiseXOR(F.col("mask"))))
     joined = emb_b.join(F.broadcast(q_b.select(q_id_col, q_vec_col, "bucket")), "bucket")
@@ -550,7 +588,8 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                     n_planes: int | None = 10, seed: int = 42, dim: int = 64,
                     id_col="vec_id", vec_col="embedding",
                     bucket_cap: int = 4096, materialize: str = "local",
-                    ckpt_runner=None, stage_prefix: str = "") -> DataFrame:
+                    ckpt_runner=None, stage_prefix: str = "",
+                    bucket_impl: str = "udf") -> DataFrame:
     """Embedding near-duplicate pairs: LSH self-join + exact cosine
     filter.
 
@@ -599,11 +638,13 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
             out |= bits[:, i].astype(np.int64) << i
         return pd.Series(out)
 
+    bucket_col = (hyperplane_bucket_col(planes, "_v")
+                  if bucket_impl == "expr" else bucket_udf(F.col("_v")))
     # eager materialize: feeds the size census + both join sides
     # (3 branches would re-run the UDF over the corpus); reliable mode
     # commits through StageRunner like the other dedup stages
     emb = CK.materialize(
-        proj.withColumn("bucket", bucket_udf(F.col("_v"))),
+        proj.withColumn("bucket", bucket_col),
         materialize, ckpt_runner, f"{stage_prefix}cosine_buckets")
     hot = (emb.groupBy("bucket").agg(F.count("*").alias("_bn"))
            .filter(F.col("_bn") > bucket_cap))

@@ -199,6 +199,30 @@ def test_minhash_band_key_poly_equals_hash(spark, docs):
     assert a.equals(b)
 
 
+def test_hyperplane_bucket_expr_equals_udf(spark, emb):
+    """The Catalyst fold bucket (bucket_impl="expr", the DuckDB-oracle
+    path) and the numpy-matmul UDF bucket must yield the same final
+    results on the fixture embeddings — the two dot products differ
+    only in summation order, which cannot flip a sign unless a dot sits
+    within float-epsilon of zero."""
+    def canon(df, cols):
+        return df.toPandas().sort_values(cols).round(9) \
+            .reset_index(drop=True)
+    a = canon(D.cosine_near_dup(emb, threshold=0.5, bucket_impl="udf"),
+              ["left_id", "right_id"])
+    b = canon(D.cosine_near_dup(emb, threshold=0.5, bucket_impl="expr"),
+              ["left_id", "right_id"])
+    assert a.equals(b)
+    qpdf = emb.toPandas().iloc[:3]
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": qpdf["vec_id"], "q_vec": qpdf["embedding"]}))
+    u = canon(D.lsh_bucket_topk(emb, queries, k=5, bucket_impl="udf"),
+              ["q_id", "rank"])
+    e = canon(D.lsh_bucket_topk(emb, queries, k=5, bucket_impl="expr"),
+              ["q_id", "rank"])
+    assert u.equals(e)
+
+
 def test_doc_fingerprint_batch_matches_perdoc(spark):
     """Batch-vectorized winnowing kernel must be bit-identical to the
     per-document reference formulation — mixed long/short/empty/unicode
