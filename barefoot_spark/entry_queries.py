@@ -1315,6 +1315,122 @@ def q_ivf_ann_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
+_PQ_CACHE: dict = {}
+
+
+def _pq_codebooks():
+    """PQ codebooks trained on a seeded synthetic N(0,1) sample — the
+    same deterministic-constant pattern as the LSH hyperplanes, so the
+    oracle SQL is sf-independent (the driver generates oracles without
+    an sf_dir). Corpus-trained codebooks (the production recipe —
+    sample the corpus like the IVF coarse quantizer does) are exercised
+    by the ivfpq pytest suite instead."""
+    if "default" not in _PQ_CACHE:
+        rng = np.random.default_rng(7)
+        sample = rng.normal(size=(256, 64))
+        _PQ_CACHE["default"] = DP.pq_train(sample, m=8, ks=16, seed=42)
+    return _PQ_CACHE["default"]
+
+
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (m=8 subspaces, ks=16 codewords
+    = one 8-byte code per vector): encode in whole-stage codegen
+    (explicit left-assoc element sums — see datapipe._dot_lit_expr for
+    why not F.aggregate), per-query LUT on the broadcast side, score =
+    m array look-ups per scanned row. Fully DuckDB-oracle-checked: the
+    oracle mirrors the same left-assoc arithmetic so encode argmins and
+    ADC sums are bit-identical."""
+    books = _pq_codebooks()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    out = DP.pq_adc_topk(emb, queries, k=10, codebooks=books,
+                         code_impl="expr")
+    return out.select("q_id", "vec_id",
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("adc", 6).alias("adc"))
+
+
+def _pq_dot_sql(vec: str, base: int, cent) -> str:
+    """Left-assoc chained sum `vec[base+1]*c0 + ...` — the SQL twin of
+    datapipe._dot_lit_expr (same IEEE op order, so bit-identical; NOT
+    list_dot_product, whose fused accumulation differs in the last ulp
+    and could flip an encode argmin)."""
+    return " + ".join(f"{vec}[{base + j + 1}] * {repr(float(c))}"
+                      for j, c in enumerate(cent))
+
+
+def oracle_pq_ann_topk(sf_dir):
+    """DuckDB twin of q_pq_ann_topk: same codebooks (shared seeded
+    training), encode via list_position(scores, list_max(scores)) - 1
+    (first-occurrence argmax = Spark array_position = numpy argmax
+    tie-break), ADC as the same left-assoc LUT sum. No NaN/NULL paths:
+    ADC is a pure sum of products (no normalization divide)."""
+    return _pq_oracle_sql(_pq_codebooks(), q_max=5, k=10)
+
+
+def _pq_oracle_sql(books, q_max: int, k: int) -> str:
+    m, ks, dsub = books.shape
+    score_arrs = []
+    for sub in range(m):
+        exprs = []
+        for c in range(ks):
+            cent = books[sub, c]
+            half = repr(float(0.5 * np.dot(cent, cent)))
+            exprs.append(f"({_pq_dot_sql('v', sub * dsub, cent)}) - {half}")
+        score_arrs.append("[" + ", ".join(exprs) + "]")
+    sc_cols = ", ".join(f"{arr} AS s{sub}"
+                        for sub, arr in enumerate(score_arrs))
+    code_list = ", ".join(
+        f"list_position(s{sub}, list_max(s{sub})) - 1" for sub in range(m))
+    lut_cols = ", ".join(
+        "[" + ", ".join(f"({_pq_dot_sql('qv', sub * dsub, books[sub, c])})"
+                        for c in range(ks)) + f"] AS lut_{sub}"
+        for sub in range(m))
+    adc = " + ".join(f"l.lut_{sub}[c.codes[{sub + 1}] + 1]"
+                     for sub in range(m))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sc AS (SELECT vec_id, {sc_cols} FROM e),
+        codes AS (SELECT vec_id, [{code_list}] AS codes FROM sc),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+              WHERE vec_id < {q_max}),
+        lut AS (SELECT q_id, {lut_cols} FROM q),
+        scored AS (SELECT l.q_id, c.vec_id, {adc} AS adc
+                   FROM codes c, lut l),
+        r AS (SELECT q_id, vec_id, adc,
+                     row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc DESC, vec_id) AS rnk
+              FROM scored)
+        SELECT q_id, vec_id, rnk, round(adc, 6) AS adc
+        FROM r WHERE rnk <= {k}
+    """
+
+
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """IVFPQ composed scale path: coarse-quantizer list pruning
+    (nprobe=4 of 8 lists) + PQ-ADC scoring over codes inside probed
+    lists + exact cosine re-rank of the ADC top-30. Approximate by
+    construction (pruning + quantization) so rows-only at the gate;
+    recall and the exact-at-full-probe/full-rerank equivalence are
+    pytest-pinned (test_datapipe)."""
+    books = _pq_codebooks()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(
+        emb.filter(F.col("vec_id") < 256).orderBy("vec_id")
+        .toPandas()["embedding"].to_numpy())
+    C = DP.kmeans_centroids(sample, k=8, seed=42)
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    out = DP.ivfpq_topk(emb, queries, k=10, centroids=C, codebooks=books,
+                        nprobe=4, rerank=30)
+    return out.select("q_id", "vec_id",
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("cosine", 6).alias("cosine"))
+
+
 def q_dbcan_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
         .select(F.col("event_id").alias("id"), "value")
@@ -1861,6 +1977,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "ann_topk": q_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "pq_ann_topk": q_pq_ann_topk,
+    "ivfpq_ann_topk": q_ivfpq_ann_topk,
     "connected_components": q_connected_components,
     "dbscan_clusters": q_dbscan_clusters,
     "dbcan_events": q_dbcan_events,
@@ -1902,6 +2020,9 @@ ORACLES = {
     "quality_filter": oracle_quality_filter,
     "ann_topk": oracle_ann_topk,
     "ivf_ann_topk": oracle_ann_topk,
+    "pq_ann_topk": oracle_pq_ann_topk,
+    # ivfpq_ann_topk: approximate by construction (list pruning +
+    # quantization) -> rows-only; recall pytest-pinned
     "dbcan_events": oracle_dbcan_events,
     "dbcan_core_events": oracle_dbcan_core_events,
     "jaccard_pairs": oracle_jaccard_pairs,

@@ -20,7 +20,7 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 # ---------------------------------------------------------------------------
 # exact dedup — hash groupBy (map-side combine; one shuffle on the hash)
@@ -582,6 +582,204 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — the memory-bounded 100-TB scan path
+# ---------------------------------------------------------------------------
+
+def pq_train(vectors: np.ndarray, m: int = 8, ks: int = 16, seed: int = 42,
+             iters: int = 10) -> np.ndarray:
+    """Per-subspace Euclidean Lloyd k-means codebooks, shape
+    (m, ks, dim/m). Deterministic: seeded k-means++ init, fixed
+    iteration count, empty clusters keep their previous centroid.
+    Trained driver-side on a bounded sample (same recipe as the IVF
+    coarse quantizer): the codebook is tiny (m*ks*dsub doubles) and
+    broadcasts to every executor; index quality degrades gracefully
+    with sample size while the ADC scan stays well-defined.
+
+    Why PQ at 100 TB: an encoded vector is m small ints (m bytes at
+    ks<=256) versus dim*4 bytes of float32 — 32x compression at the
+    default (8 bytes vs 256) — so the scan set fits in executor memory
+    and the hot loop reads ONLY the code columns (column pruning cuts
+    the embedding payload out of the scan entirely)."""
+    X = np.asarray(vectors, dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    ks = min(ks, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub))
+    for sub in range(m):
+        S = X[:, sub * dsub:(sub + 1) * dsub]
+        # k-means++ init on squared distance
+        C = np.empty((ks, dsub))
+        C[0] = S[rng.integers(n)]
+        d2 = ((S - C[0]) ** 2).sum(axis=1)
+        for i in range(1, ks):
+            p = np.maximum(d2, 1e-12)
+            C[i] = S[rng.choice(n, p=p / p.sum())]
+            d2 = np.minimum(d2, ((S - C[i]) ** 2).sum(axis=1))
+        for _ in range(iters):
+            # argmin ||s-c||^2 == argmax (s.c - 0.5*||c||^2)
+            scores = S @ C.T - 0.5 * (C ** 2).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[sub] = C
+    return books
+
+
+def _dot_lit_expr(vec_col: str, base: int, cent: np.ndarray):
+    """Left-associated chained sum  v[base+1]*c0 + v[base+2]*c1 + ...
+    (explicit element products, NOT F.aggregate / list_dot_product):
+    both Spark and DuckDB parse `+` left-associatively, so the two
+    engines produce bit-identical IEEE doubles — which the PQ encode
+    step needs, because a 1-ulp difference can flip an argmin (DuckDB's
+    list_dot_product uses a fused accumulation that differs from a
+    sequential fold in the last ulp; measured, see test_pq docs)."""
+    expr = F.element_at(F.col(vec_col), base + 1) * F.lit(float(cent[0]))
+    for j in range(1, len(cent)):
+        expr = expr + F.element_at(F.col(vec_col), base + j + 1) * \
+            F.lit(float(cent[j]))
+    return expr
+
+
+def pq_code_col(codebooks: np.ndarray, vec_col: str):
+    """Catalyst-only PQ encode: array<int> of per-subspace nearest
+    codeword ids. Per subspace the 2*ks-term score array lives in
+    whole-stage codegen; argmin via array_position(scores, array_max)
+    (1-based first occurrence — matching numpy argmax tie-break)."""
+    m, ks, dsub = codebooks.shape
+    codes = []
+    for sub in range(m):
+        scores = []
+        for c in range(ks):
+            cent = codebooks[sub, c]
+            half = float(0.5 * np.dot(cent, cent))
+            scores.append(_dot_lit_expr(vec_col, sub * dsub, cent) -
+                          F.lit(half))
+        arr = F.array(*scores)
+        codes.append((F.array_position(arr, F.array_max(arr)) - 1)
+                     .cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """numpy fast-path PQ encode (one matmul per subspace per Arrow
+    batch). Tie-break = np.argmax first occurrence, the same rule as
+    pq_code_col; accumulation order differs (BLAS), so codes can
+    diverge from the expr path only on sub-ulp score ties."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for sub in range(m):
+            S = X[:, sub * dsub:(sub + 1) * dsub]
+            C = books[sub]
+            scores = S @ C.T - 0.5 * (C ** 2).sum(axis=1)
+            out[:, sub] = np.argmax(scores, axis=1)
+        return pd.Series(list(out))
+    return _udf
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                codebooks: np.ndarray,
+                id_col="vec_id", vec_col="embedding",
+                q_id_col="q_id", q_vec_col="q_vec",
+                code_impl: str = "expr") -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: vectors are scanned as
+    m-byte codes; each query precomputes one m x ks look-up table of
+    subspace dot products (on the tiny query side), and the big-side
+    score is just m array look-ups + adds per row — no float vector is
+    read in the scan. Approximate by construction (quantization error);
+    recall rises with m/ks and an exact re-rank of the ADC top-R
+    restores order (see ivfpq_topk).
+
+    At 100 TB the codes table is written once (encode is a linear scan)
+    and every subsequent query touches ONLY (id, codes) — 9 bytes/row —
+    while the LUT build cost is O(m*ks*dsub) per query, independent of
+    corpus size. code_impl="expr" keeps encode inside codegen and makes
+    the whole pipeline DuckDB-oracle-expressible; "udf" is the
+    matmul fast path (bit-compatible away from score ties)."""
+    m, ks, dsub = codebooks.shape
+    if code_impl == "expr":
+        emb_c = (embeddings
+                 .withColumn("__vd", F.col(vec_col).cast("array<double>"))
+                 .withColumn("codes", pq_code_col(codebooks, "__vd"))
+                 .select(id_col, "codes"))
+    else:
+        emb_c = embeddings.select(
+            id_col, pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"))
+    q = queries.withColumn("__qd", F.col(q_vec_col).cast("array<double>"))
+    luts = [F.array(*[_dot_lit_expr("__qd", sub * dsub, codebooks[sub, c])
+                      for c in range(ks)]).alias(f"lut_{sub}")
+            for sub in range(m)]
+    q_lut = q.select(q_id_col, *luts)
+    joined = emb_c.crossJoin(F.broadcast(q_lut))
+    score = F.element_at(F.col("lut_0"), F.element_at("codes", 1) + 1)
+    for sub in range(1, m):
+        score = score + F.element_at(F.col(f"lut_{sub}"),
+                                     F.element_at("codes", sub + 1) + 1)
+    scored = joined.select(q_id_col, id_col, score.alias("adc"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("adc"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+               centroids: np.ndarray, codebooks: np.ndarray,
+               nprobe: int = 4, rerank: int = 0,
+               id_col="vec_id", vec_col="embedding",
+               q_id_col="q_id", q_vec_col="q_vec") -> DataFrame:
+    """IVF + PQ composed (FAISS IVFPQ with by_residual=False): the
+    coarse quantizer prunes to nprobe inverted lists (partition-
+    prunable equi-join — the IVF scale shape), PQ-ADC scores inside the
+    probed lists over codes only, and an optional exact cosine re-rank
+    of the ADC top-`rerank` restores exact order among survivors.
+    This is the full 100-TB ANN shape: list pruning bounds the scan,
+    codes bound the bytes per scanned row, re-rank re-reads float
+    vectors for only rerank*|queries| rows (a broadcast-able set)."""
+    spark = embeddings.sparkSession
+    cbc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    m, ks, dsub = codebooks.shape
+    emb_l = embeddings.withColumn(
+        "list_id", _ivf_assign_udf(cbc, top=1)(F.col(vec_col))[0])
+    emb_c = emb_l.select(id_col, vec_col, "list_id",
+                         pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"))
+    q = (queries
+         .withColumn("probe", _ivf_assign_udf(cbc, top=nprobe)(F.col(q_vec_col)))
+         .withColumn("list_id", F.explode("probe"))
+         .withColumn("__qd", F.col(q_vec_col).cast("array<double>")))
+    luts = [F.array(*[_dot_lit_expr("__qd", sub * dsub, codebooks[sub, c])
+                      for c in range(ks)]).alias(f"lut_{sub}")
+            for sub in range(m)]
+    q_lut = q.select(q_id_col, q_vec_col, "list_id", *luts)
+    joined = emb_c.join(F.broadcast(q_lut), "list_id")
+    score = F.element_at(F.col("lut_0"), F.element_at("codes", 1) + 1)
+    for sub in range(1, m):
+        score = score + F.element_at(F.col(f"lut_{sub}"),
+                                     F.element_at("codes", sub + 1) + 1)
+    scored = joined.select(q_id_col, id_col, vec_col, q_vec_col,
+                           score.alias("adc"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("adc"), F.col(id_col))
+    ranked = (scored.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= max(k, rerank)))
+    if rerank:
+        sim = _cosine_cols(F.col(vec_col).cast("array<double>"),
+                           F.col(q_vec_col).cast("array<double>"))
+        rr = ranked.select(q_id_col, id_col, sim.alias("cosine"))
+        w2 = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"),
+                                                  F.col(id_col))
+        return (rr.withColumn("rank", F.row_number().over(w2))
+                .filter(F.col("rank") <= k))
+    return ranked.select(q_id_col, id_col, "adc", "rank")
 
 
 def cosine_near_dup(embeddings: DataFrame, threshold: float = 0.95,
