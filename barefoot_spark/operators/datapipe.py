@@ -230,6 +230,11 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                .distinct())
     msig = (docs_p.join(members, "_id", "left_semi")
             .select("_id", udf(F.col("_text")).alias("sig")))
+    # materialize: msig feeds BOTH verify-join branches — without it the
+    # member-signature UDF pass runs twice (once per branch; measured
+    # ~2x the verify UDF cost at sf0.1). The row-block checkpoint
+    # sidesteps the array-column columnar-cache trap documented above.
+    msig = _mat(msig, "minhash_msig")
     pairs = (pairs
              .join(msig.select(F.col("_id").alias("left_id"),
                                F.col("sig").alias("lsig")), "left_id")
