@@ -521,3 +521,53 @@ def test_pq_adc_matches_duckdb_oracle_microcorpus(spark, emb):
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
     assert got["rank"].tolist() == want["rnk"].tolist()
     assert got["adc"].tolist() == want["adc"].tolist()
+
+
+def test_pq_expr_encode_matches_scalar_reference(spark):
+    """Independent scalar check of the codegen encode: codes from
+    pq_code_col equal a pure-python reimplementation using the exact
+    left-assoc accumulation order and first-occurrence argmax — the
+    contract the DuckDB oracle depends on (NOT the matmul UDF, whose
+    BLAS order differs in the last ulp)."""
+    rng = np.random.default_rng(99)
+    vecs = rng.normal(size=(40, 64))
+    books = D.pq_train(rng.normal(size=(64, 64)), m=8, ks=8, seed=1)
+    m, ks, dsub = books.shape
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [v.tolist() for v in vecs]})
+    got = (spark.createDataFrame(pdf)
+           .withColumn("__vd", F.col("embedding").cast("array<double>"))
+           .select("vec_id", D.pq_code_col(books, "__vd").alias("codes"))
+           .toPandas().sort_values("vec_id"))
+    for row_i, codes in zip(got["vec_id"], got["codes"]):
+        v = vecs[row_i]
+        for sub in range(m):
+            scores = []
+            for c in range(ks):
+                cent = books[sub, c]
+                acc = v[sub * dsub] * cent[0]
+                for j in range(1, dsub):
+                    acc = acc + v[sub * dsub + j] * cent[j]
+                scores.append(acc - 0.5 * float(np.dot(cent, cent)))
+            best = max(scores)
+            want = scores.index(best)       # first occurrence
+            assert codes[sub] == want, (row_i, sub)
+
+
+def test_pq_encode_tie_breaks_to_first_codeword(spark):
+    """Duplicated codewords produce bitwise-equal scores; both encode
+    paths and the oracle must pick the FIRST (lowest index) — pin it."""
+    rng = np.random.default_rng(3)
+    books = D.pq_train(rng.normal(size=(32, 16)), m=2, ks=4, seed=3)
+    books[0, 2] = books[0, 0]               # tie: codeword 2 == codeword 0
+    books[1, 3] = books[1, 1]
+    vecs = books[0, 0].tolist() + books[1, 1].tolist()  # sits ON the dup'd words
+    pdf = pd.DataFrame({"vec_id": [0], "embedding": [vecs]})
+    emb = spark.createDataFrame(pdf)
+    expr_codes = (emb.withColumn("__vd", F.col("embedding").cast("array<double>"))
+                  .select(D.pq_code_col(books, "__vd").alias("codes"))
+                  .toPandas()["codes"][0])
+    udf_codes = (emb.select(D.pq_encode_udf(books)(F.col("embedding"))
+                            .alias("codes")).toPandas()["codes"][0])
+    assert list(expr_codes) == [0, 1]
+    assert list(udf_codes) == [0, 1]
