@@ -1408,27 +1408,120 @@ def _pq_oracle_sql(books, q_max: int, k: int) -> str:
     """
 
 
+def _ivf_centroids():
+    """Coarse-quantizer centroids trained on a seeded synthetic
+    N(0,1) sample — deterministic constants, so the IVFPQ oracle SQL
+    is sf-independent (same pattern as _pq_codebooks). Corpus-trained
+    centroids (the production recipe) are exercised by the ivf/ivfpq
+    pytest suite and q_ivf_ann_topk."""
+    if "centroids" not in _PQ_CACHE:
+        rng = np.random.default_rng(11)
+        sample = rng.normal(size=(256, 64))
+        _PQ_CACHE["centroids"] = DP.kmeans_centroids(sample, k=8, seed=42)
+    return _PQ_CACHE["centroids"]
+
+
 def q_ivfpq_ann_topk(spark, sf_dir):
     """IVFPQ composed scale path: coarse-quantizer list pruning
     (nprobe=4 of 8 lists) + PQ-ADC scoring over codes inside probed
     lists + exact cosine re-rank of the ADC top-30. Approximate by
-    construction (pruning + quantization) so rows-only at the gate;
-    recall and the exact-at-full-probe/full-rerank equivalence are
+    construction (pruning + quantization) — but deterministically so:
+    with expr-path assignment and encode (left-assoc arithmetic in
+    whole-stage codegen) the whole pipeline has a bit-faithful DuckDB
+    twin, so the gate hash-checks the approximate semantics
+    themselves. Recall and the exact-at-full-probe equivalence stay
     pytest-pinned (test_datapipe)."""
     books = _pq_codebooks()
+    C = _ivf_centroids()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sample = np.stack(
-        emb.filter(F.col("vec_id") < 256).orderBy("vec_id")
-        .toPandas()["embedding"].to_numpy())
-    C = DP.kmeans_centroids(sample, k=8, seed=42)
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
     out = DP.ivfpq_topk(emb, queries, k=10, centroids=C, codebooks=books,
-                        nprobe=4, rerank=30)
+                        nprobe=4, rerank=30,
+                        code_impl="expr", assign_impl="expr")
     return out.select("q_id", "vec_id",
                       F.col("rank").cast("long").alias("rnk"),
                       F.round("cosine", 6).alias("cosine"))
+
+
+def oracle_ivfpq_ann_topk(sf_dir):
+    """DuckDB twin of q_ivfpq_ann_topk, mirroring every stage of the
+    expr-path pipeline bit-for-bit up to the re-rank: coarse scores as
+    left-assoc centroid dots (raw dots — the per-row norm divides out
+    of the ordering), assignment/probes via list_position/ordinality
+    with the same (score DESC, index ASC) tie-break as Spark's
+    row_number over posexplode, PQ codes + ADC exactly as
+    oracle_pq_ann_topk, and the exact-cosine re-rank shared with
+    oracle_ann_topk (round-6 output absorbs the fused-vs-fold ulp)."""
+    return _ivfpq_oracle_sql(_pq_codebooks(), _ivf_centroids(),
+                             q_max=5, k=10, nprobe=4, rerank=30)
+
+
+def _ivfpq_oracle_sql(books, centroids, q_max: int, k: int,
+                      nprobe: int, rerank: int) -> str:
+    m, ks, dsub = books.shape
+    C = np.asarray(centroids, dtype=np.float64)
+    cs_arr = "[" + ", ".join(_pq_dot_sql("v", 0, C[i])
+                             for i in range(len(C))) + "]"
+    score_arrs = []
+    for sub in range(m):
+        exprs = []
+        for c in range(ks):
+            cent = books[sub, c]
+            half = repr(float(0.5 * np.dot(cent, cent)))
+            exprs.append(f"({_pq_dot_sql('v', sub * dsub, cent)}) - {half}")
+        score_arrs.append("[" + ", ".join(exprs) + "]")
+    sc_cols = ", ".join(f"{arr} AS s{sub}"
+                        for sub, arr in enumerate(score_arrs))
+    code_list = ", ".join(
+        f"list_position(s{sub}, list_max(s{sub})) - 1" for sub in range(m))
+    lut_cols = ", ".join(
+        "[" + ", ".join(f"({_pq_dot_sql('qv', sub * dsub, books[sub, c])})"
+                        for c in range(ks)) + f"] AS lut_{sub}"
+        for sub in range(m))
+    adc = " + ".join(f"l.lut_{sub}[c.codes[{sub + 1}] + 1]"
+                     for sub in range(m))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        asn AS (SELECT vec_id, v, {cs_arr} AS cs FROM e),
+        el AS (SELECT vec_id, v,
+                      CAST(list_position(cs, list_max(cs)) - 1 AS BIGINT)
+                          AS list_id
+               FROM asn),
+        sc AS (SELECT vec_id, {sc_cols} FROM e),
+        codes AS (SELECT vec_id, [{code_list}] AS codes FROM sc),
+        ec AS (SELECT el.vec_id, el.v, el.list_id, codes.codes
+               FROM el JOIN codes USING (vec_id)),
+        q AS (SELECT vec_id AS q_id, v AS qv, cs FROM asn
+              WHERE vec_id < {q_max}),
+        qx AS (SELECT q_id, qv,
+                      CAST(generate_subscripts(cs, 1) - 1 AS BIGINT)
+                          AS list_id,
+                      unnest(cs) AS s
+               FROM q),
+        qp AS (SELECT q_id, qv, list_id FROM qx
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                   ORDER BY s DESC, list_id) <= {nprobe}),
+        lut AS (SELECT q_id, qv, list_id, {lut_cols} FROM qp),
+        scored AS (SELECT l.q_id, c.vec_id, c.v, l.qv, {adc} AS adc
+                   FROM ec c JOIN lut l USING (list_id)),
+        r1 AS (SELECT q_id, vec_id, v, qv,
+                      row_number() OVER (PARTITION BY q_id
+                          ORDER BY adc DESC, vec_id) AS rnk1
+               FROM scored),
+        rr AS (SELECT q_id, vec_id,
+                      list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v))
+                         * sqrt(list_dot_product(qv, qv))) AS cosine
+               FROM r1 WHERE rnk1 <= {max(k, rerank)}),
+        r AS (SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, vec_id) AS rnk
+              FROM rr)
+        SELECT q_id, vec_id, rnk, round(cosine, 6) AS cosine
+        FROM r WHERE rnk <= {k}
+    """
 
 
 def q_dbcan_events(spark, sf_dir):
@@ -2021,8 +2114,7 @@ ORACLES = {
     "ann_topk": oracle_ann_topk,
     "ivf_ann_topk": oracle_ann_topk,
     "pq_ann_topk": oracle_pq_ann_topk,
-    # ivfpq_ann_topk: approximate by construction (list pruning +
-    # quantization) -> rows-only; recall pytest-pinned
+    "ivfpq_ann_topk": oracle_ivfpq_ann_topk,
     "dbcan_events": oracle_dbcan_events,
     "dbcan_core_events": oracle_dbcan_core_events,
     "jaccard_pairs": oracle_jaccard_pairs,

@@ -589,6 +589,57 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             .filter(F.col("rank") <= k))
 
 
+def ivf_write_index(embeddings: DataFrame, centroids: np.ndarray, path: str,
+                    id_col="vec_id", vec_col="embedding",
+                    codebooks: np.ndarray | None = None) -> None:
+    """One-time IVF index build: assign every vector to its inverted
+    list, optionally PQ-encode, and persist parquet PARTITIONED BY
+    list_id. This is the physical layout the 100-TB story depends on:
+    a probe then reads only its nprobe partitions — partition pruning
+    at the file-listing level, before any I/O — instead of filtering
+    after a full scan (plan-asserted in test_ivf_index_partition_
+    pruning). With codebooks the stored row is (id, codes[, vec]) and
+    the ADC scan touches only the code column."""
+    spark = embeddings.sparkSession
+    cbc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    df = embeddings.withColumn(
+        "list_id", _ivf_assign_udf(cbc, top=1)(F.col(vec_col))[0])
+    if codebooks is not None:
+        df = df.withColumn("codes",
+                           pq_encode_udf(codebooks)(F.col(vec_col)))
+    df.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_probe_index(spark, path: str, queries: DataFrame, k: int,
+                    centroids: np.ndarray, nprobe: int = 4,
+                    id_col="vec_id", vec_col="embedding",
+                    q_id_col="q_id", q_vec_col="q_vec") -> DataFrame:
+    """Probe a persisted IVF index with STATIC partition pruning: the
+    probed list set is computed on the (tiny, broadcast-able) query
+    side and pushed into the scan as `list_id IN (...)` — the parquet
+    source then lists only those partition directories. The driver-side
+    collect is bounded by |queries| * nprobe ints (never corpus-sized).
+    Semantically identical to ivf_topk on the same centroids/nprobe."""
+    cbc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    q_l = (queries
+           .withColumn("probe",
+                       _ivf_assign_udf(cbc, top=nprobe)(F.col(q_vec_col)))
+           .withColumn("list_id", F.explode("probe")).drop("probe"))
+    probe_lists = [r.list_id for r in q_l.select("list_id").distinct().collect()]
+    emb = (spark.read.parquet(path)
+           .filter(F.col("list_id").isin(probe_lists)))
+    joined = emb.join(
+        F.broadcast(q_l.select(q_id_col, q_vec_col,
+                               F.col("list_id").cast("long").alias("list_id"))),
+        "list_id")
+    sim = _cosine_cols(F.col(vec_col).cast("array<double>"),
+                       F.col(q_vec_col).cast("array<double>"))
+    scored = joined.select(F.col(q_id_col), F.col(id_col), sim.alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ) ANN — the memory-bounded 100-TB scan path
 # ---------------------------------------------------------------------------
@@ -651,6 +702,18 @@ def _dot_lit_expr(vec_col: str, base: int, cent: np.ndarray):
         expr = expr + F.element_at(F.col(vec_col), base + j + 1) * \
             F.lit(float(cent[j]))
     return expr
+
+
+def ivf_scores_col(centroids: np.ndarray, vec_col: str):
+    """Catalyst-only coarse-quantizer scores: array of raw dot
+    products of the vector against every centroid, in the same
+    left-assoc op order as _dot_lit_expr (so a DuckDB twin is
+    bit-identical). Raw dots share their argmax/ordering with the
+    normalized scores of _ivf_assign_udf — the per-row norm is one
+    positive scalar — so expr and udf assignments agree away from
+    sub-ulp score ties (pinned by test_ivfpq_expr_matches_udf)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    return F.array(*[_dot_lit_expr(vec_col, 0, C[i]) for i in range(len(C))])
 
 
 def pq_code_col(codebooks: np.ndarray, vec_col: str):
@@ -742,7 +805,8 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int,
                centroids: np.ndarray, codebooks: np.ndarray,
                nprobe: int = 4, rerank: int = 0,
                id_col="vec_id", vec_col="embedding",
-               q_id_col="q_id", q_vec_col="q_vec") -> DataFrame:
+               q_id_col="q_id", q_vec_col="q_vec",
+               code_impl: str = "udf", assign_impl: str = "udf") -> DataFrame:
     """IVF + PQ composed (FAISS IVFPQ with by_residual=False): the
     coarse quantizer prunes to nprobe inverted lists (partition-
     prunable equi-join — the IVF scale shape), PQ-ADC scores inside the
@@ -750,18 +814,51 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     of the ADC top-`rerank` restores exact order among survivors.
     This is the full 100-TB ANN shape: list pruning bounds the scan,
     codes bound the bytes per scanned row, re-rank re-reads float
-    vectors for only rerank*|queries| rows (a broadcast-able set)."""
+    vectors for only rerank*|queries| rows (a broadcast-able set).
+
+    code_impl/assign_impl "expr" keep PQ encode and coarse assignment
+    inside whole-stage codegen with left-assoc arithmetic, making the
+    WHOLE pipeline DuckDB-oracle-expressible; "udf" (default) is the
+    numpy-matmul fast path (bit-compatible away from score ties)."""
     spark = embeddings.sparkSession
-    cbc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
     m, ks, dsub = codebooks.shape
-    emb_l = embeddings.withColumn(
-        "list_id", _ivf_assign_udf(cbc, top=1)(F.col(vec_col))[0])
-    emb_c = emb_l.select(id_col, vec_col, "list_id",
-                         pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"))
-    q = (queries
-         .withColumn("probe", _ivf_assign_udf(cbc, top=nprobe)(F.col(q_vec_col)))
-         .withColumn("list_id", F.explode("probe"))
-         .withColumn("__qd", F.col(q_vec_col).cast("array<double>")))
+    if assign_impl == "expr":
+        emb_l = (embeddings
+                 .withColumn("__vd", F.col(vec_col).cast("array<double>"))
+                 .withColumn("__cs", ivf_scores_col(centroids, "__vd"))
+                 .withColumn("list_id",
+                             (F.array_position(F.col("__cs"),
+                                               F.array_max(F.col("__cs"))) - 1)
+                             .cast("long")))
+        qx = (queries
+              .withColumn("__qd", F.col(q_vec_col).cast("array<double>"))
+              .withColumn("__cs", ivf_scores_col(centroids, "__qd"))
+              .select(q_id_col, q_vec_col, "__qd",
+                      F.posexplode("__cs").alias("list_pos", "__s")))
+        wq = Window.partitionBy(q_id_col).orderBy(F.desc("__s"),
+                                                  F.col("list_pos"))
+        q = (qx.withColumn("__pr", F.row_number().over(wq))
+             .filter(F.col("__pr") <= nprobe)
+             .withColumn("list_id", F.col("list_pos").cast("long")))
+    else:
+        cbc = spark.sparkContext.broadcast(
+            np.asarray(centroids, dtype=np.float64))
+        emb_l = embeddings.withColumn(
+            "list_id", _ivf_assign_udf(cbc, top=1)(F.col(vec_col))[0])
+        q = (queries
+             .withColumn("probe",
+                         _ivf_assign_udf(cbc, top=nprobe)(F.col(q_vec_col)))
+             .withColumn("list_id", F.explode("probe"))
+             .withColumn("__qd", F.col(q_vec_col).cast("array<double>")))
+    if code_impl == "expr":
+        emb_c = (emb_l
+                 .withColumn("__cd", F.col(vec_col).cast("array<double>"))
+                 .withColumn("codes", pq_code_col(codebooks, "__cd"))
+                 .select(id_col, vec_col, "list_id", "codes"))
+    else:
+        emb_c = emb_l.select(
+            id_col, vec_col, "list_id",
+            pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"))
     luts = [F.array(*[_dot_lit_expr("__qd", sub * dsub, codebooks[sub, c])
                       for c in range(ks)]).alias(f"lut_{sub}")
             for sub in range(m)]

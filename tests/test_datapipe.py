@@ -571,3 +571,92 @@ def test_pq_encode_tie_breaks_to_first_codeword(spark):
                             .alias("codes")).toPandas()["codes"][0])
     assert list(expr_codes) == [0, 1]
     assert list(udf_codes) == [0, 1]
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index layout must prove the 100-TB claim: the
+    probe's parquet scan carries the probed lists as PartitionFilters
+    (pruned at file listing, before I/O) and the probe's results equal
+    ivf_topk on the same centroids/nprobe."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(6, 64)) * 4
+    vecs = np.concatenate([c + rng.normal(size=(20, 64)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    C = D.kmeans_centroids(vecs, k=6, seed=42)
+    path = str(tmp_path / "ivf_index")
+    D.ivf_write_index(emb, C, path)
+    q_ids = [0, 25, 50]
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": q_ids, "q_vec": [vecs[i].tolist() for i in q_ids]}))
+    out = D.ivf_probe_index(spark, path, queries, k=5, centroids=C, nprobe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1) and " IN " in m.group(1), plan[:2000]
+    # and the vector payload columns are pruned to what the probe needs
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<double>>" in plan
+    want = D.ivf_topk(emb, queries, k=5, centroids=C, nprobe=2).toPandas() \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    got = out.toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert want[["q_id", "vec_id", "rank"]].values.tolist() == \
+        got[["q_id", "vec_id", "rank"]].values.tolist()
+    assert np.allclose(want["cosine"], got["cosine"])
+
+
+def test_ivf_index_with_pq_codes_roundtrip(spark, tmp_path):
+    """codebooks=... persists PQ codes alongside: reading ONLY
+    (vec_id, codes, list_id) must reproduce the UDF encode exactly —
+    the codes-only ADC scan layout."""
+    rng = np.random.default_rng(22)
+    vecs = rng.normal(size=(30, 64))
+    books = D.pq_train(vecs, m=8, ks=8, seed=5)
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    C = D.kmeans_centroids(vecs, k=3, seed=42)
+    path = str(tmp_path / "ivfpq_index")
+    D.ivf_write_index(emb, C, path, codebooks=books)
+    stored = (spark.read.parquet(path).select("vec_id", "codes")
+              .toPandas().sort_values("vec_id"))
+    live = (emb.select("vec_id",
+                       D.pq_encode_udf(books)(F.col("embedding"))
+                       .alias("codes"))
+            .toPandas().sort_values("vec_id"))
+    for a, b in zip(stored["codes"], live["codes"]):
+        assert list(a) == list(b)
+
+
+def test_ivfpq_expr_matches_udf(spark):
+    """The expr path (codegen left-assoc assignment + encode — the
+    oracle-expressible form used by the gate entry) must produce the
+    same ranking as the udf matmul fast path: identical (q_id, vec_id,
+    rank) rows and allclose cosine on clustered data. Divergence is
+    only possible on sub-ulp score ties, which real-valued corpora
+    don't produce."""
+    rng = np.random.default_rng(33)
+    centers = rng.normal(size=(8, 64)) * 4
+    vecs = np.concatenate([c + rng.normal(size=(25, 64)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf)
+    books = D.pq_train(vecs, m=8, ks=16, seed=42)
+    C = D.kmeans_centroids(vecs, k=8, seed=42)
+    q_ids = [0, 30, 60, 90]
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": q_ids, "q_vec": [vecs[i] for i in q_ids]}))
+    kw = dict(k=5, centroids=C, codebooks=books, nprobe=3, rerank=20)
+    udf = D.ivfpq_topk(emb, queries, **kw).toPandas() \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    expr = D.ivfpq_topk(emb, queries, code_impl="expr",
+                        assign_impl="expr", **kw).toPandas() \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert udf[["q_id", "vec_id", "rank"]].values.tolist() == \
+        expr[["q_id", "vec_id", "rank"]].values.tolist()
+    assert np.allclose(udf["cosine"], expr["cosine"])
