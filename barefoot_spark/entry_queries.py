@@ -1772,7 +1772,19 @@ def oracle_minhash_dedup(sf_dir):
     for j in range(1, rpb):
         horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
     return f"""
-        WITH params(p, a, b) AS (VALUES {pvals}),
+        WITH {_minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
+                            sel_sj, horner)}
+        SELECT left_id, right_id, round(est_jaccard, 6) AS est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms, sel_sj,
+                  horner) -> str:
+    """The minhash pipeline's CTE chain (params ... est), shared
+    verbatim by oracle_minhash_dedup and oracle_dedup_keep_canonical
+    so the two gates can never drift apart."""
+    return f"""params(p, a, b) AS (VALUES {pvals}),
         padded AS (
             SELECT doc_id,
                    CASE WHEN length(coalesce(text, '')) < {k}
@@ -1808,9 +1820,69 @@ def oracle_minhash_dedup(sf_dir):
             JOIN sig ls ON ls.doc_id = p.left_id
             JOIN sig rs ON rs.doc_id = p.right_id AND rs.p = ls.p
             GROUP BY p.left_id, p.right_id
-        )
-        SELECT left_id, right_id, round(est_jaccard, 6) AS est_jaccard
-        FROM est WHERE est_jaccard >= 0.5
+        )"""
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The end-to-end dedup deliverable: minhash near-dup pairs (the
+    oracle-checked poly-band pipeline) -> connected duplicate clusters
+    (large-star/small-star) -> per-document (canonical_id, keep,
+    cluster_size). Every stage has an independently proven SQL twin;
+    composed here so the gate hash-checks the WHOLE keep-list a
+    100-TB dedup job would emit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DP.minhash_dedup(docs, jaccard_threshold=0.5, band_key="poly")
+    return (DP.dedup_keep_canonical(docs, pairs)
+            .orderBy("doc_id"))
+
+
+def oracle_dedup_keep_canonical(sf_dir):
+    """Shared minhash CTE chain (bit-identical to oracle_minhash_dedup)
+    + the recursive-CTE reachability closure with min label (the
+    connected_components twin) + singleton coalesce — an independent
+    algorithm for the cluster resolution (closure vs star rounds)."""
+    k, num_perm, bands_n = 5, 64, 16
+    rpb = num_perm // bands_n
+    m64 = "18446744073709551616::HUGEINT"
+    mp = "2305843009213693951::HUGEINT"
+    a, b = DP._minhash_params(num_perm, 42)
+    pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+                      for p in range(num_perm))
+    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
+        for j, m in enumerate(mult))
+    sel_sj = ", ".join(f"max(CASE WHEN p % {rpb} = {j} THEN s END) AS s{j}"
+                       for j in range(rpb))
+    horner = "s0"
+    for j in range(1, rpb):
+        horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
+    ctes = _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
+                         sel_sj, horner)
+    return f"""
+        WITH RECURSIVE {ctes},
+        dup AS (SELECT left_id, right_id FROM est
+                WHERE est_jaccard >= 0.5),
+        und AS (SELECT left_id AS a, right_id AS b FROM dup
+                UNION SELECT right_id, left_id FROM dup),
+        vs AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM vs
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
+        sizes AS (SELECT canonical, count(*) AS sz FROM comp
+                  GROUP BY canonical)
+        SELECT d.doc_id,
+               CAST(coalesce(c.canonical, d.doc_id) AS BIGINT)
+                   AS canonical_id,
+               (d.doc_id = coalesce(c.canonical, d.doc_id)) AS keep,
+               CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size
+        FROM documents d
+        LEFT JOIN comp c ON c.v = d.doc_id
+        LEFT JOIN sizes s ON s.canonical = c.canonical
+        ORDER BY d.doc_id
     """
 
 
@@ -2079,6 +2151,7 @@ QUERIES = {
     "dbrcan_function": q_dbrcan_function,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "simhash_dedup": q_simhash_dedup,
     "doc_fingerprint": q_doc_fingerprint,
     "image_features": q_image_features,
@@ -2122,6 +2195,7 @@ ORACLES = {
     "dbrcan_function": oracle_dbrcan_function,
     "connected_components": oracle_connected_components,
     "minhash_dedup": oracle_minhash_dedup,
+    "dedup_keep_canonical": oracle_dedup_keep_canonical,
     "simhash_dedup": oracle_simhash_dedup,
     "dbscan_clusters": oracle_dbscan_clusters,
     "cosine_near_dup": oracle_cosine_near_dup,

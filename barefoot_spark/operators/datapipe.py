@@ -248,6 +248,42 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
             .select("left_id", "right_id", "est_jaccard"))
 
 
+def dedup_keep_canonical(documents: DataFrame, pairs: DataFrame,
+                         id_col="doc_id",
+                         left_col="left_id", right_col="right_id") -> DataFrame:
+    """Turn a near-dup PAIR set into the deliverable a training-data
+    pipeline actually consumes: one row per input document with its
+    duplicate-cluster canonical (min doc id reachable through the pair
+    graph), a keep flag (only the canonical survives) and the cluster
+    size. Pairs -> weakly-connected components via the shared
+    large-star/small-star kernel (O(log^2 n) rounds, no driver loop);
+    documents untouched by any pair are their own singleton cluster.
+
+    100-TB shape: the pair set is orders of magnitude smaller than the
+    corpus (only verified near-dup candidates), so the component kernel
+    and the per-cluster size table stay small and BOTH joins back onto
+    the corpus are broadcasts — the full documents table is never
+    shuffled."""
+    from .. import graphx
+    comp = graphx.components_star_nodes(
+        pairs.select(F.col(left_col), F.col(right_col)))
+    # the star kernel omits each component's root (label vertex) from
+    # its output — the root is still a member, so size = rows + 1
+    sizes = comp.groupBy("label").agg((F.count("*") + 1).alias("__sz"))
+    return (documents.select(F.col(id_col))
+            .join(F.broadcast(comp), F.col(id_col) == F.col("vtx"), "left")
+            .withColumn("canonical_id",
+                        F.coalesce(F.col("label"), F.col(id_col)))
+            .drop("vtx", "label")
+            .join(F.broadcast(sizes),
+                  F.col("canonical_id") == F.col("label"), "left")
+            .select(F.col(id_col),
+                    F.col("canonical_id").cast("long").alias("canonical_id"),
+                    (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+                    F.coalesce(F.col("__sz"), F.lit(1))
+                    .cast("long").alias("cluster_size")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -660,3 +660,22 @@ def test_ivfpq_expr_matches_udf(spark):
     assert udf[["q_id", "vec_id", "rank"]].values.tolist() == \
         expr[["q_id", "vec_id", "rank"]].values.tolist()
     assert np.allclose(udf["cosine"], expr["cosine"])
+
+
+def test_dedup_keep_canonical(spark, docs):
+    """Pairs -> clusters -> keep-list: docs {1,2,3,6} form one
+    near-dup cluster under the default minhash params (canonical 1
+    keeps, 2/3/6 drop, all report cluster_size 4); untouched docs are
+    their own singleton keepers."""
+    pairs = D.minhash_dedup(docs, jaccard_threshold=0.5)
+    out = D.dedup_keep_canonical(docs, pairs).toPandas() \
+        .set_index("doc_id").sort_index()
+    cluster = {1, 2, 3, 6}
+    assert set(out[out.cluster_size > 1].index) == cluster
+    for d in cluster:
+        assert out.loc[d, "canonical_id"] == 1
+        assert out.loc[d, "cluster_size"] == 4
+        assert bool(out.loc[d, "keep"]) == (d == 1)
+    for d in (4, 5, 7):
+        assert out.loc[d, "canonical_id"] == d
+        assert bool(out.loc[d, "keep"]) and out.loc[d, "cluster_size"] == 1
