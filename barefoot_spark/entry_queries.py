@@ -794,6 +794,63 @@ def oracle_quality_filter(sf_dir):
             f"WHERE quality_score >= 0.5")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-word fraction via
+    the explode->two-level-agg linear plan; bigram dup fraction
+    row-local)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DP.repetition_stats(docs).select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        "top_word", "top_word_frac", "dup_bigram_frac")
+
+
+def oracle_repetition_stats(sf_dir):
+    return DP.repetition_stats_oracle_sql()
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic multiplicative-hash train/val/test split (portable
+    BIGINT arithmetic — the same expression runs in the oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DP.split_assign(docs).select(
+        "doc_id", F.col("hash_bucket").cast("long").alias("hash_bucket"),
+        "split")
+
+
+def oracle_split_assign(sf_dir):
+    return DP.split_assign_oracle_sql()
+
+
+def q_phash_dedup(spark, sf_dir):
+    """Image near-duplicate pairs over the input table's phash column
+    (block-banded hamming equi-join; bytes never shuffled). The corpus
+    plants perturbed-copy near-duplicates deterministically."""
+    from .sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(512)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    return DP.phash_dedup(images).select(
+        "left_id", "right_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+def oracle_phash_dedup(sf_dir):
+    """Brute-force O(n^2) cross-join twin over the SAME deterministic
+    phash inputs (embedded as VALUES — phash is input data in the
+    input_hint schema, like any other fixture column): an INDEPENDENT
+    algorithm vs Spark's banded join, so a hash match also certifies
+    the band pigeonhole loses no pair within the radius."""
+    from .sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(512)
+    vals = ", ".join(f"('{r.image_id}', {int(r.phash)})"
+                     for r in pdf[["image_id", "phash"]].itertuples(index=False))
+    return f"""
+        WITH img(image_id, phash) AS (VALUES {vals})
+        SELECT l.image_id AS left_id, r.image_id AS right_id,
+               CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+        FROM img l JOIN img r ON l.image_id < r.image_id
+        WHERE bit_count(xor(l.phash, r.phash)) <= 3
+    """
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
@@ -2140,6 +2197,9 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
+    "repetition_stats": q_repetition_stats,
+    "split_assign": q_split_assign,
+    "phash_dedup": q_phash_dedup,
     "ann_topk": q_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "pq_ann_topk": q_pq_ann_topk,
@@ -2184,6 +2244,9 @@ ORACLES = {
     "exact_dedup": oracle_exact_dedup,
     "text_stats": oracle_text_stats,
     "quality_filter": oracle_quality_filter,
+    "repetition_stats": oracle_repetition_stats,
+    "split_assign": oracle_split_assign,
+    "phash_dedup": oracle_phash_dedup,
     "ann_topk": oracle_ann_topk,
     "ivf_ann_topk": oracle_ann_topk,
     "pq_ann_topk": oracle_pq_ann_topk,

@@ -363,16 +363,52 @@ def hash_token(tok: str) -> int:
     return h
 
 
+def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits over an int64
+    signature column. The 64-bit signature is split into
+    (max_hamming+1) equal blocks — the pigeonhole guarantee: any pair
+    within the radius shares at least one identical block — so
+    candidate generation is an equi-join on (block, key), never an
+    O(n^2) cross join; bit_count(xor) then verifies the exact hamming
+    distance. Returns (left_id, right_id, hamming). Shared kernel of
+    simhash_dedup (text) and phash_dedup (images)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+
+    def _key(i):
+        if nblocks == 1:      # radius 0: the "block" is the whole sig
+            return F.col(sig_col).alias("key")
+        return (F.shiftright(sig_col, i * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+
+    blocks = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"), _key(i))
+            for i in range(nblocks)])).alias("b")) \
+        .select("_id", "_sig", "b.blk", "b.key")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (l.join(r, [F.col("l.blk") == F.col("r.blk"),
+                        F.col("l.key") == F.col("r.key"),
+                        F.col("l._id") < F.col("r._id")])
+             .select(F.col("l._id").alias("left_id"),
+                     F.col("r._id").alias("right_id"),
+                     F.col("l._sig").alias("lh"), F.col("r._sig").alias("rh"))
+             .dropDuplicates(["left_id", "right_id"]))
+    ham = F.bit_count(F.col("lh").bitwiseXOR(F.col("rh")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("left_id", "right_id", "hamming"))
+
+
 def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                   max_hamming: int = 3, materialize: str = "local",
                   ckpt_runner=None, stage_prefix: str = "") -> DataFrame:
-    """SimHash + 4-block banding: near-dup pairs with hamming <= k.
-    Splitting the 64-bit hash into (max_hamming+1) blocks guarantees at
-    least one identical block for any pair within the radius.
+    """SimHash + 4-block banding: near-dup pairs with hamming <= k
+    (see hamming_band_pairs for the pigeonhole guarantee).
     materialize/ckpt_runner/stage_prefix as in minhash_dedup."""
     from .. import ckpt as CK
-    nblocks = max_hamming + 1
-    width = 64 // nblocks
     # repartition the raw TEXT before attaching the UDF — placed above
     # the UDF, the exchange would spread already-computed signatures and
     # leave the hash pass single-task on a 1-partition input
@@ -381,23 +417,25 @@ def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
     sh = CK.materialize(   # one UDF pass feeds both join sides
         docs_p.select("_id", simhash_udf()(F.col("_text")).alias("simhash")),
         materialize, ckpt_runner, f"{stage_prefix}simhash_sig")
-    blocks = sh.select("_id", "simhash", F.explode(F.array(*[
-        F.struct(F.lit(i).alias("blk"),
-                 F.shiftright("simhash", i * width).bitwiseAND(
-                     F.lit((1 << width) - 1)).alias("key"))
-        for i in range(nblocks)])).alias("b")) \
-        .select("_id", "simhash", "b.blk", "b.key")
-    l, r = blocks.alias("l"), blocks.alias("r")
-    pairs = (l.join(r, [F.col("l.blk") == F.col("r.blk"),
-                        F.col("l.key") == F.col("r.key"),
-                        F.col("l._id") < F.col("r._id")])
-             .select(F.col("l._id").alias("left_id"), F.col("r._id").alias("right_id"),
-                     F.col("l.simhash").alias("lh"), F.col("r.simhash").alias("rh"))
-             .dropDuplicates(["left_id", "right_id"]))
-    ham = F.bit_count(F.col("lh").bitwiseXOR(F.col("rh")))
-    return (pairs.withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("left_id", "right_id", "hamming"))
+    return hamming_band_pairs(sh, "simhash", "_id", max_hamming)
+
+
+def phash_dedup(images: DataFrame, max_hamming: int = 3,
+                phash_col: str = "phash", id_col: str = "image_id") -> DataFrame:
+    """Image near-duplicate pairs from the table's perceptual-hash
+    column (the input_hint schema carries phash:int64 WITH every image
+    row): block-banded hamming join, identical kernel to simhash_dedup
+    but with NO signature stage at all — the phash is input data, so
+    the whole operator is pure Catalyst over two scalar columns.
+
+    100-TB shape: the binary `bytes` column is projected out before
+    anything shuffles (the select below prunes the scan to
+    (id, phash) — 16 bytes/row against multi-KB images), candidates
+    come from the (block, key) equi-join, and the only other shuffle
+    is the pair dedup."""
+    return hamming_band_pairs(
+        images.select(F.col(id_col), F.col(phash_col)),
+        phash_col, id_col, max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -1083,6 +1121,133 @@ def text_stats_oracle_sql(table="documents", text_col="text", id_col="doc_id") -
                {mean_word_len} AS mean_word_len,
                {quality} AS quality_score,
                {lang} AS lang_guess
+        FROM {table}
+    """
+
+
+def repetition_stats(documents: DataFrame, text_col="text",
+                     id_col="doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (quality filtering
+    for training corpora): total word count, the most frequent word and
+    its frequency fraction, and the duplicate word-bigram fraction.
+
+    Scale shape: the bigram stats are ROW-LOCAL higher-order array
+    expressions (no shuffle, linear per row); the top-word stats use
+    explode -> two-level aggregate — the map-side-combinable linear
+    plan — rather than a per-doc quadratic scan over distinct words.
+    Ties on the top word break to the lexicographically smallest
+    (deterministic; mirrored in the DuckDB twin)."""
+    t = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0)
+    # word bigrams; Spark's sequence(1, 0) DESCENDS, so guard size<2
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(words, i),
+                                          F.element_at(words, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    dup_bigram_frac = F.when(
+        n_bigrams > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams))
+                / n_bigrams, 6)).otherwise(F.lit(0.0))
+    base = documents.select(F.col(id_col),
+                            dup_bigram_frac.alias("dup_bigram_frac"))
+    wc = (documents.select(F.col(id_col), F.explode(words).alias("w"))
+          .groupBy(id_col, "w").agg(F.count("*").alias("c")))
+    w_rank = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("w"))
+    w_doc = Window.partitionBy(id_col)
+    top = (wc.withColumn("_rn", F.row_number().over(w_rank))
+           .withColumn("n_words", F.sum("c").over(w_doc))
+           .filter(F.col("_rn") == 1)
+           .select(F.col(id_col), F.col("n_words"),
+                   F.col("w").alias("top_word"),
+                   F.round(F.col("c") / F.col("n_words"), 6)
+                   .alias("top_word_frac")))
+    return (base.join(top, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("top_word", F.lit("")).alias("top_word"),
+                    F.coalesce("top_word_frac", F.lit(0.0))
+                    .alias("top_word_frac"),
+                    "dup_bigram_frac"))
+
+
+def repetition_stats_oracle_sql(table="documents", text_col="text",
+                                id_col="doc_id") -> str:
+    """DuckDB twin of repetition_stats (same word regex, same rounding,
+    same top-word tie-break)."""
+    t, i = text_col, id_col
+    ws = f"regexp_extract_all(lower({t}), '[a-z0-9]+')"
+    return f"""
+        WITH bg AS (
+            SELECT {i},
+                   CASE WHEN len({ws}) >= 2 THEN
+                        list_transform(generate_series(1, len({ws}) - 1),
+                            j -> {ws}[j] || ' ' || {ws}[j + 1])
+                        ELSE [] END AS bigrams
+            FROM {table}
+        ), base AS (
+            SELECT {i},
+                   CASE WHEN len(bigrams) > 0 THEN
+                        round(1.0 - len(list_distinct(bigrams)) * 1.0
+                              / len(bigrams), 6)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM bg
+        ), wc AS (
+            SELECT {i}, w, count(*) AS c
+            FROM (SELECT {i}, unnest({ws}) AS w FROM {table})
+            GROUP BY {i}, w
+        ), top AS (
+            SELECT {i}, n_words, w AS top_word,
+                   round(c * 1.0 / n_words, 6) AS top_word_frac
+            FROM (SELECT {i}, w, c,
+                         sum(c) OVER (PARTITION BY {i}) AS n_words,
+                         row_number() OVER (PARTITION BY {i}
+                             ORDER BY c DESC, w ASC) AS rn
+                  FROM wc)
+            WHERE rn = 1
+        )
+        SELECT b.{i},
+               coalesce(t.n_words, 0) AS n_words,
+               coalesce(t.top_word, '') AS top_word,
+               coalesce(t.top_word_frac, 0.0) AS top_word_frac,
+               b.dup_bigram_frac
+        FROM base b LEFT JOIN top t ON t.{i} = b.{i}
+    """
+
+
+def split_assign(documents: DataFrame, id_col="doc_id",
+                 train: float = 0.9, val: float = 0.05,
+                 seed: int = 42) -> DataFrame:
+    """Deterministic train/val/test assignment by multiplicative hash
+    of the integer id (Knuth's 2654435761 mod 2^32): portable plain-
+    BIGINT arithmetic — identical in any engine — so the split is
+    stable under repartitioning, resume, and re-runs, with no RNG
+    state and no shuffle (a row-local projection the scan absorbs).
+    The product stays < 2^63 for ids < 2^31, so ANSI mode never
+    overflows; at larger id ranges hash the id's low 31 bits first."""
+    h = F.pmod(F.col(id_col) * F.lit(2654435761) + F.lit(seed),
+               F.lit(1 << 32))
+    u = h / F.lit(float(1 << 32))
+    split = (F.when(u < train, F.lit("train"))
+             .when(u < train + val, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return documents.select(F.col(id_col), h.alias("hash_bucket"),
+                            split.alias("split"))
+
+
+def split_assign_oracle_sql(table="documents", id_col="doc_id",
+                            train: float = 0.9, val: float = 0.05,
+                            seed: int = 42) -> str:
+    """DuckDB twin of split_assign (identical integer arithmetic)."""
+    h = f"(({id_col} * 2654435761 + {seed}) % 4294967296)"
+    u = f"({h} / 4294967296.0)"
+    return f"""
+        SELECT {id_col}, {h} AS hash_bucket,
+               CASE WHEN {u} < {train} THEN 'train'
+                    WHEN {u} < {train + val} THEN 'val'
+                    ELSE 'test' END AS split
         FROM {table}
     """
 

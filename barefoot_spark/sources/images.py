@@ -118,6 +118,37 @@ def synth_images_pdf(n: int, seed: int = _SEED, w: int = 32, h: int = 24) -> pd.
     return pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
 
 
+def synth_images_with_dups_pdf(n: int, dup_every: int = 4, seed: int = _SEED,
+                               w: int = 32, h: int = 24) -> pd.DataFrame:
+    """Deterministic image corpus with PLANTED near-duplicates for the
+    phash-dedup path: every `dup_every`-th row stores a perturbed copy
+    of a recent base image (one or two 8x8 phash blocks brightened),
+    so its stored phash lands within a few bits of the base's. The
+    table stays self-consistent — bytes encode the perturbed pixels
+    and phash is computed FROM those pixels — but dup rows'
+    pixels/captions do not re-derive from their own image_id, so this
+    corpus is for dedup tests, not verify_images."""
+    rng = np.random.default_rng(seed ^ 0xD0B)
+    rows = []
+    for i in range(n):
+        image_id = f"img-{seed}-{i:08d}"
+        fmt = "png" if (i % 2 == 0) else "jpeg"
+        if i % dup_every == dup_every - 1 and i > 0:
+            base_i = int(rng.integers(max(0, i - 16), i))
+            px = synth_pixels(f"img-{seed}-{base_i:08d}", w, h)
+            px = px.astype(np.int16)
+            bh, bw = h // 8, w // 8
+            for _ in range(int(rng.integers(1, 3))):
+                by, bx = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+                px[by * bh:(by + 1) * bh, bx * bw:(bx + 1) * bw] += 96
+            px = np.clip(px, 0, 255).astype(np.uint8)
+        else:
+            px = synth_pixels(image_id, w, h)
+        rows.append((image_id, encode_image(px, fmt), w, h, fmt,
+                     synth_caption(image_id), phash64(px)))
+    return pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+
 VERIFY_SCHEMA = StructType([
     StructField("image_id", StringType()),
     StructField("fmt", StringType()),

@@ -679,3 +679,86 @@ def test_dedup_keep_canonical(spark, docs):
     for d in (4, 5, 7):
         assert out.loc[d, "canonical_id"] == d
         assert bool(out.loc[d, "keep"]) and out.loc[d, "cluster_size"] == 1
+
+
+# ---------------------------------------------------------------------------
+# phash dedup / repetition stats / split assign (round 4)
+# ---------------------------------------------------------------------------
+
+def test_phash_dedup_matches_bruteforce(spark):
+    """Banded hamming join == O(n^2) numpy brute force on the planted
+    near-dup image corpus (recall certified by the block pigeonhole)."""
+    from barefoot_spark.sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(256)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    out = D.phash_dedup(images).toPandas()
+    got = {(r.left_id, r.right_id, int(r.hamming))
+           for r in out.itertuples(index=False)}
+
+    ph = pdf.phash.to_numpy().astype(np.int64).astype(np.uint64)
+    ids = pdf.image_id.to_list()
+    want = set()
+    for i in range(len(ph)):
+        for j in range(i + 1, len(ph)):
+            h = bin(int(ph[i] ^ ph[j])).count("1")
+            if h <= 3:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((a, b, h))
+    assert got == want and len(want) > 0
+
+
+def test_phash_dedup_planted_exact_copies(spark):
+    """A perturbation that flips no block bit yields hamming 0 — those
+    planted exact-phash pairs must all surface."""
+    from barefoot_spark.sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(256)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    out = D.phash_dedup(images, max_hamming=0).toPandas()
+    assert (out.hamming == 0).all()
+    ph = pdf.phash.to_numpy()
+    import collections
+    counts = collections.Counter(ph)
+    expected_pairs = sum(c * (c - 1) // 2 for c in counts.values())
+    assert len(out) == expected_pairs > 0
+
+
+def test_repetition_stats_values(spark):
+    rows = [(1, "a b a b c"),      # top 'a' (tie a/b -> lexicographic)
+            (2, "hello"),
+            (3, ""),
+            (4, "x x x x")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r.doc_id: r for r in D.repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1.n_words == 5 and r1.top_word == "a"
+    assert abs(r1.top_word_frac - 0.4) < 1e-9
+    # bigrams: [a b, b a, a b, b c] -> 4 total, 3 distinct
+    assert abs(r1.dup_bigram_frac - 0.25) < 1e-9
+    r2 = out[2]
+    assert r2.n_words == 1 and r2.top_word == "hello"
+    assert r2.top_word_frac == 1.0 and r2.dup_bigram_frac == 0.0
+    r3 = out[3]
+    assert r3.n_words == 0 and r3.top_word == "" and r3.top_word_frac == 0.0
+    r4 = out[4]
+    assert r4.n_words == 4 and abs(r4.top_word_frac - 1.0) < 1e-9
+    # bigrams: [x x, x x, x x] -> 3 total, 1 distinct
+    assert abs(r4.dup_bigram_frac - (1 - 1 / 3)) < 2e-6   # round(.,6)
+
+
+def test_split_assign_deterministic(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = D.split_assign(df).toPandas().set_index("doc_id")
+    # exact arithmetic mirror
+    for did in (0, 1, 7, 1999):
+        h = (did * 2654435761 + 42) % (1 << 32)
+        assert out.loc[did, "hash_bucket"] == h
+        u = h / float(1 << 32)
+        want = "train" if u < 0.9 else ("val" if u < 0.95 else "test")
+        assert out.loc[did, "split"] == want
+    frac = out.split.value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.9) < 0.03
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+    # stable under re-evaluation and under repartitioning
+    again = D.split_assign(df.repartition(13)).toPandas().set_index("doc_id")
+    assert (again.sort_index().hash_bucket == out.sort_index().hash_bucket).all()
