@@ -851,6 +851,57 @@ def oracle_phash_dedup(sf_dir):
     """
 
 
+def q_image_dedup_keep(spark, sf_dir):
+    """End-to-end IMAGE dedup deliverable: phash near-dup pairs ->
+    duplicate clusters (large-star/small-star over string image ids;
+    lexicographic min of the fixed-width ids is the canonical) ->
+    per-image (canonical_id, keep, cluster_size). The image-payload
+    twin of dedup_keep_canonical: at scale both corpus joins broadcast
+    and the binary bytes column never shuffles."""
+    from .sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(512)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    pairs = DP.phash_dedup(images, max_hamming=3)
+    return DP.dedup_keep_canonical(images, pairs, id_col="image_id")
+
+
+def oracle_image_dedup_keep(sf_dir):
+    """Brute-force pair twin + recursive-CTE reachability closure with
+    min label (independent algorithm vs the star kernel) over the same
+    VALUES phash table."""
+    from .sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(512)
+    vals = ", ".join(f"('{r.image_id}', {int(r.phash)})"
+                     for r in pdf[["image_id", "phash"]].itertuples(index=False))
+    return f"""
+        WITH RECURSIVE
+        img(image_id, phash) AS (VALUES {vals}),
+        dup AS (
+            SELECT l.image_id AS left_id, r.image_id AS right_id
+            FROM img l JOIN img r ON l.image_id < r.image_id
+            WHERE bit_count(xor(l.phash, r.phash)) <= 3
+        ),
+        und AS (SELECT left_id AS a, right_id AS b FROM dup
+                UNION SELECT right_id, left_id FROM dup),
+        vs AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM vs
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
+        sizes AS (SELECT canonical, count(*) AS sz FROM comp
+                  GROUP BY canonical)
+        SELECT i.image_id,
+               coalesce(c.canonical, i.image_id) AS canonical_id,
+               (i.image_id = coalesce(c.canonical, i.image_id)) AS keep,
+               CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size
+        FROM img i
+        LEFT JOIN comp c ON c.v = i.image_id
+        LEFT JOIN sizes s ON s.canonical = c.canonical
+    """
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
@@ -2200,6 +2251,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "split_assign": q_split_assign,
     "phash_dedup": q_phash_dedup,
+    "image_dedup_keep": q_image_dedup_keep,
     "ann_topk": q_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "pq_ann_topk": q_pq_ann_topk,
@@ -2247,6 +2299,7 @@ ORACLES = {
     "repetition_stats": oracle_repetition_stats,
     "split_assign": oracle_split_assign,
     "phash_dedup": oracle_phash_dedup,
+    "image_dedup_keep": oracle_image_dedup_keep,
     "ann_topk": oracle_ann_topk,
     "ivf_ann_topk": oracle_ann_topk,
     "pq_ann_topk": oracle_pq_ann_topk,

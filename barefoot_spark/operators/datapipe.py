@@ -263,8 +263,14 @@ def dedup_keep_canonical(documents: DataFrame, pairs: DataFrame,
     corpus (only verified near-dup candidates), so the component kernel
     and the per-cluster size table stay small and BOTH joins back onto
     the corpus are broadcasts — the full documents table is never
-    shuffled."""
+    shuffled.
+
+    Id-type agnostic: the canonical is min-by-the-id-type's-ordering
+    (numeric ids order numerically, string ids lexicographically — the
+    star kernel's least/array_min comparisons follow the column type),
+    and canonical_id comes back in the id column's own type."""
     from .. import graphx
+    id_type = documents.schema[id_col].dataType
     comp = graphx.components_star_nodes(
         pairs.select(F.col(left_col), F.col(right_col)))
     # the star kernel omits each component's root (label vertex) from
@@ -278,7 +284,7 @@ def dedup_keep_canonical(documents: DataFrame, pairs: DataFrame,
             .join(F.broadcast(sizes),
                   F.col("canonical_id") == F.col("label"), "left")
             .select(F.col(id_col),
-                    F.col("canonical_id").cast("long").alias("canonical_id"),
+                    F.col("canonical_id").cast(id_type).alias("canonical_id"),
                     (F.col(id_col) == F.col("canonical_id")).alias("keep"),
                     F.coalesce(F.col("__sz"), F.lit(1))
                     .cast("long").alias("cluster_size")))

@@ -762,3 +762,35 @@ def test_split_assign_deterministic(spark):
     # stable under re-evaluation and under repartitioning
     again = D.split_assign(df.repartition(13)).toPandas().set_index("doc_id")
     assert (again.sort_index().hash_bucket == out.sort_index().hash_bucket).all()
+
+
+def test_dedup_keep_canonical_string_ids(spark):
+    """Keep-list over STRING ids (image corpus): canonical = lexicographic
+    min of the duplicate cluster; verified against a python union-find."""
+    from barefoot_spark.sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(192)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    pairs = D.phash_dedup(images, max_hamming=3)
+    out = D.dedup_keep_canonical(images, pairs, id_col="image_id") \
+        .toPandas().set_index("image_id")
+    assert out.canonical_id.dtype == object   # stayed a string column
+
+    parent = {i: i for i in pdf.image_id}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in pairs.collect():
+        a, b = find(r.left_id), find(r.right_id)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    clusters = {}
+    for i in pdf.image_id:
+        clusters.setdefault(find(i), []).append(i)
+    for root, members in clusters.items():
+        canon = min(members)
+        for m in members:
+            assert out.loc[m, "canonical_id"] == canon
+            assert bool(out.loc[m, "keep"]) == (m == canon)
+            assert out.loc[m, "cluster_size"] == len(members)
