@@ -370,7 +370,8 @@ def hash_token(tok: str) -> int:
 
 
 def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bucket_cap: int = 4096) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` bits over an int64
     signature column. The 64-bit signature is split into
     (max_hamming+1) equal blocks — the pigeonhole guarantee: any pair
@@ -378,7 +379,22 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
     candidate generation is an equi-join on (block, key), never an
     O(n^2) cross join; bit_count(xor) then verifies the exact hamming
     distance. Returns (left_id, right_id, hamming). Shared kernel of
-    simhash_dedup (text) and phash_dedup (images)."""
+    simhash_dedup (text) and phash_dedup (images).
+
+    Hot-bucket guard (the same skew obligation cosine_near_dup
+    carries): a degenerate corpus — billions of copies of one image is
+    the canonical 100-TB case — puts n rows under ONE (block, key),
+    making the self-join a single O(n^2) task. Buckets above
+    ``bucket_cap`` rows are salt-split into s = ceil(cnt/cap) chunks
+    and the pair space is tiled over the triangular chunk pairs with
+    BOTH sides exploded (left row of chunk a targets (a, t) for
+    t in a..s-1; right row of chunk b probes (q, b) for q in 0..b), so
+    every shuffle key is one ordered chunk pair holding ~cap x ~cap
+    rows. The pair SET is exactly unchanged: cross-chunk pairs appear
+    once (least/greatest canonicalization), within-chunk pairs are
+    kept once by the id-order predicate (pytest-pinned equality vs an
+    effectively-unguarded cap on the planted corpus, plus an
+    adversarial all-identical-sig corpus)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
 
@@ -394,12 +410,26 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
             F.struct(F.lit(i).alias("blk"), _key(i))
             for i in range(nblocks)])).alias("b")) \
         .select("_id", "_sig", "b.blk", "b.key")
-    l, r = blocks.alias("l"), blocks.alias("r")
+    hot = (blocks.groupBy("blk", "key").agg(F.count("*").alias("_bn"))
+           .filter(F.col("_bn") > bucket_cap))
+    b = blocks.join(F.broadcast(hot), ["blk", "key"], "left")
+    nsalt = F.coalesce(F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
+                       F.lit(1))
+    b = (b.withColumn("_ns", nsalt)
+         .withColumn("_s", F.pmod(F.xxhash64("_id"), F.col("_ns"))
+                     .cast("int")).drop("_bn"))
+    l = b.withColumn(
+        "_t", F.explode(F.sequence(F.col("_s"), F.col("_ns") - 1))).alias("l")
+    r = b.withColumn(
+        "_q", F.explode(F.sequence(F.lit(0), F.col("_s")))).alias("r")
     pairs = (l.join(r, [F.col("l.blk") == F.col("r.blk"),
                         F.col("l.key") == F.col("r.key"),
-                        F.col("l._id") < F.col("r._id")])
-             .select(F.col("l._id").alias("left_id"),
-                     F.col("r._id").alias("right_id"),
+                        F.col("l._t") == F.col("r._s"),
+                        F.col("l._s") == F.col("r._q"),
+                        (F.col("l._s") != F.col("r._s"))
+                        | (F.col("l._id") < F.col("r._id"))])
+             .select(F.least("l._id", "r._id").alias("left_id"),
+                     F.greatest("l._id", "r._id").alias("right_id"),
                      F.col("l._sig").alias("lh"), F.col("r._sig").alias("rh"))
              .dropDuplicates(["left_id", "right_id"]))
     ham = F.bit_count(F.col("lh").bitwiseXOR(F.col("rh")))

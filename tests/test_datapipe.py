@@ -794,3 +794,36 @@ def test_dedup_keep_canonical_string_ids(spark):
             assert out.loc[m, "canonical_id"] == canon
             assert bool(out.loc[m, "keep"]) == (m == canon)
             assert out.loc[m, "cluster_size"] == len(members)
+
+
+def test_hamming_band_pairs_hot_bucket_guard(spark):
+    """Adversarial all-identical-signature corpus: every (block, key)
+    bucket is one degenerate hot bucket. With a small cap the salt
+    tiling must still emit EXACTLY the full n*(n-1)/2 pair set, each
+    pair once."""
+    import pandas as pd
+    n = 300
+    pdf = pd.DataFrame({"image_id": [f"im-{i:05d}" for i in range(n)],
+                        "phash": [0x0123456789ABCDEF] * n})
+    df = spark.createDataFrame(pdf)
+    out = D.hamming_band_pairs(df, "phash", "image_id",
+                               max_hamming=3, bucket_cap=50).toPandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out.hamming == 0).all()
+    assert (out.left_id < out.right_id).all()
+    assert not out.duplicated(["left_id", "right_id"]).any()
+
+
+def test_hamming_band_pairs_guard_preserves_pairs(spark):
+    """Guard-on (cap forces salting) == effectively-unguarded (huge
+    cap) on the planted image corpus."""
+    from barefoot_spark.sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(256)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    def pairs(cap):
+        out = D.hamming_band_pairs(images.select("image_id", "phash"),
+                                   "phash", "image_id",
+                                   max_hamming=3, bucket_cap=cap).toPandas()
+        return {(r.left_id, r.right_id, int(r.hamming))
+                for r in out.itertuples(index=False)}
+    assert pairs(4) == pairs(1 << 30)
