@@ -122,3 +122,56 @@ def test_stream_restart_from_checkpoint(spark, idx, tmp_path):
     assert len(got) == len(exp)
     assert got["edge_id"].tolist() == exp["edge_id"].tolist()
     np.testing.assert_allclose(got["fraction"], exp["fraction"], atol=1e-12)
+
+
+def test_ingest_dedup_stream(spark, tmp_path):
+    """Streaming ingest dedup: re-uploads of the same phash within the
+    watermark are dropped across micro-batches; the quality gate runs
+    before state; watermark-bounded state admits the same key again
+    once the watermark has passed it."""
+    from barefoot_spark.streaming import ingest as IG
+
+    in_dir = str(tmp_path / "img_in")
+    ckpt = str(tmp_path / "img_ckpt")
+    os.makedirs(in_dir)
+
+    schema = ("image_id string, phash long, caption string, ts timestamp")
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = IG.ingest_images_stream(stream, delay="10 minutes",
+                                  min_caption_len=3)
+    q = (out.writeStream.format("memory").queryName("ingested")
+         .option("checkpointLocation", ckpt).outputMode("append").start())
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["image_id", "phash", "caption", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+
+    t0 = "2026-01-01 00:00:"
+    batch([("a", 111, "alpha cat", t0 + "00"),
+           ("a2", 111, "alpha cat again", t0 + "05"),   # dup phash in-batch
+           ("b", 222, "beta dog", t0 + "10"),
+           ("junk", 333, "x", t0 + "11")])              # caption gate
+    batch([("a3", 111, "alpha cat later", t0 + "20"),   # dup across batches
+           ("c", 444, "gamma bird", t0 + "30")])
+    got = spark.sql("select phash from ingested").toPandas()
+    assert sorted(got.phash) == [111, 222, 444]
+
+    # advance event time far past the watermark delay, then re-upload
+    # phash 111: its state entry has been reaped -> admitted again
+    batch([("w", 555, "watermark pusher", "2026-01-01 01:00:00")])
+    batch([("a4", 111, "alpha cat reborn", "2026-01-01 01:00:05")])
+    got2 = spark.sql("select phash from ingested").toPandas()
+    q.stop()
+    assert sorted(got2.phash) == [111, 111, 222, 444, 555]
+
+    # the same operator on a BATCH frame: plain dedup + gate
+    pdf = pd.DataFrame(
+        [("a", 111, "alpha cat", "2026-01-01"), ("a2", 111, "dup", "2026-01-01"),
+         ("j", 9, "x", "2026-01-01")],
+        columns=["image_id", "phash", "caption", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    b = IG.ingest_images_stream(spark.createDataFrame(pdf),
+                                min_caption_len=3)
+    assert sorted(r.phash for r in b.collect()) == [111]
