@@ -851,6 +851,56 @@ def oracle_phash_dedup(sf_dir):
     """
 
 
+def _docs_with_split_sql():
+    """documents + the split_assign column as an inline subquery (the
+    exact arithmetic of DP.split_assign_oracle_sql)."""
+    h = "((doc_id * 2654435761 + 42) % 4294967296)"
+    u = f"({h} / 4294967296.0)"
+    return (f"(SELECT doc_id, text, CASE WHEN {u} < 0.9 THEN 'train' "
+            f"WHEN {u} < 0.95 THEN 'val' ELSE 'test' END AS split "
+            f"FROM documents) AS dsp")
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Per-split token-budget subsampling: stable hash-order running
+    token sum, kept while <= budget. Window partitions by split (the
+    parallel scale shape; never a single global partition)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d2 = docs.join(DP.split_assign(docs).select("doc_id", "split"), "doc_id")
+    out = DP.token_budget_sample(d2, budget_tokens=5000, group_col="split")
+    return out.select("split", "doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("cum_tokens").cast("long").alias("cum_tokens"))
+
+
+def oracle_token_budget_sample(sf_dir):
+    return DP.token_budget_sample_oracle_sql(
+        5000, group_col="split", table=_docs_with_split_sql())
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy context-window sequence packing per split (the
+    cumsum-with-reset scan as an applyInPandas kernel; JVM computes
+    token counts + ordering, the kernel walks two int columns)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d2 = docs.join(DP.split_assign(docs).select("doc_id", "split"), "doc_id")
+    out = DP.pack_sequences(d2, ctx_tokens=256, group_col="split")
+    return out.select("split", "doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("bin_id").cast("long").alias("bin_id"),
+                      "truncated")
+
+
+def oracle_pack_sequences(sf_dir):
+    """Recursive-CTE unroll of the same greedy recurrence — an
+    independent formulation (position recursion vs sequential kernel
+    scan)."""
+    inner = DP.pack_sequences_oracle_sql(
+        256, group_col="split", table=_docs_with_split_sql())
+    return (f"SELECT split, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            f"bin_id, truncated FROM ({inner}) z")
+
+
 def q_image_dedup_keep(spark, sf_dir):
     """End-to-end IMAGE dedup deliverable: phash near-dup pairs ->
     duplicate clusters (large-star/small-star over string image ids;
@@ -2252,6 +2302,8 @@ QUERIES = {
     "split_assign": q_split_assign,
     "phash_dedup": q_phash_dedup,
     "image_dedup_keep": q_image_dedup_keep,
+    "token_budget_sample": q_token_budget_sample,
+    "pack_sequences": q_pack_sequences,
     "ann_topk": q_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "pq_ann_topk": q_pq_ann_topk,
@@ -2300,6 +2352,8 @@ ORACLES = {
     "split_assign": oracle_split_assign,
     "phash_dedup": oracle_phash_dedup,
     "image_dedup_keep": oracle_image_dedup_keep,
+    "token_budget_sample": oracle_token_budget_sample,
+    "pack_sequences": oracle_pack_sequences,
     "ann_topk": oracle_ann_topk,
     "ivf_ann_topk": oracle_ann_topk,
     "pq_ann_topk": oracle_pq_ann_topk,

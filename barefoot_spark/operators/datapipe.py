@@ -1288,6 +1288,148 @@ def split_assign_oracle_sql(table="documents", id_col="doc_id",
     """
 
 
+def token_budget_sample(documents: DataFrame, budget_tokens: int,
+                        group_col: str | None = None, text_col="text",
+                        id_col="doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic token-budget subsampling: walk the corpus in a
+    stable pseudo-random order (the multiplicative hash of the id —
+    same arithmetic as split_assign, so the order is engine-portable
+    and re-run/resume stable) and keep documents while the running
+    token total stays within the budget.
+
+    Scale shape: with `group_col` set (per-language / per-split
+    budgets — the real pipeline case) the window partitions by group
+    and the scan parallelizes across groups; group_col=None means ONE
+    global running sum — inherently a single sequential pass, use only
+    for small curation sets. Returns kept rows:
+    (id, [group], n_tokens, cum_tokens)."""
+    t = F.col(text_col)
+    toks = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0))
+    h = F.pmod(F.col(id_col) * F.lit(2654435761) + F.lit(seed),
+               F.lit(1 << 32))
+    keys = [group_col] if group_col else []
+    w = (Window.partitionBy(*keys).orderBy(F.col("_h"), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (documents
+           .select(*([F.col(group_col)] if group_col else []),
+                   F.col(id_col), toks.alias("n_tokens"), h.alias("_h"))
+           .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+           .filter(F.col("cum_tokens") <= budget_tokens)
+           .drop("_h"))
+    return out
+
+
+def token_budget_sample_oracle_sql(budget_tokens: int,
+                                   group_col: str | None = None,
+                                   table="documents", text_col="text",
+                                   id_col="doc_id", seed: int = 42) -> str:
+    """DuckDB twin of token_budget_sample (identical hash order and
+    running sum)."""
+    toks = f"len(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))"
+    h = f"(({id_col} * 2654435761 + {seed}) % 4294967296)"
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    gsel = f"{group_col}, " if group_col else ""
+    return f"""
+        WITH s AS (
+            SELECT {gsel}{id_col}, {toks} AS n_tokens, {h} AS _h
+            FROM {table}
+        ), c AS (
+            SELECT {gsel}{id_col}, n_tokens,
+                   sum(n_tokens) OVER ({part}ORDER BY _h, {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM s
+        )
+        SELECT * FROM c WHERE cum_tokens <= {budget_tokens}
+    """
+
+
+def pack_sequences(documents: DataFrame, ctx_tokens: int = 2048,
+                   group_col: str | None = None, text_col="text",
+                   id_col="doc_id", seed: int = 42) -> DataFrame:
+    """Greedy context-window packing (sequence packing for training):
+    walk each group's documents in the stable hash order and assign
+    bin ids, opening a new bin whenever the running token count would
+    exceed `ctx_tokens`; a document longer than the window gets its
+    own bin with truncated=true. Returns
+    ([group], id, n_tokens, bin_id, truncated).
+
+    The greedy scan is a cumulative sum WITH RESET — inherently
+    sequential per group, like the Viterbi recurrence — so it runs as
+    an applyInPandas kernel per group (numpy arrays, one pass; the
+    token counts and ordering are computed JVM-side first, so the
+    python loop touches two int columns only). Scale shape: one group
+    = one task — group by split/language/shard so groups bound memory
+    and parallelism; a global pack (group_col=None) is a single
+    sequential task by construction."""
+    t = F.col(text_col)
+    toks = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0))
+    h = F.pmod(F.col(id_col) * F.lit(2654435761) + F.lit(seed),
+               F.lit(1 << 32))
+    gcols = [group_col] if group_col else []
+    base = documents.select(
+        *[F.col(c) for c in gcols], F.col(id_col),
+        toks.alias("n_tokens"), h.alias("_h"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", id_col]).reset_index(drop=True)
+        n = pdf["n_tokens"].to_numpy()
+        bins = np.empty(len(n), dtype=np.int64)
+        b, acc = 0, 0
+        for i, v in enumerate(n):
+            if acc > 0 and acc + v > ctx_tokens:
+                b, acc = b + 1, 0
+            bins[i] = b
+            acc += v
+        out = pdf.drop(columns=["_h"]).copy()
+        out["bin_id"] = bins
+        out["truncated"] = n > ctx_tokens
+        return out
+
+    gpart = ", ".join(f"{c} string" if dict(base.dtypes)[c] == "string"
+                      else f"{c} {dict(base.dtypes)[c]}" for c in gcols)
+    id_t = dict(base.dtypes)[id_col]
+    schema = ((gpart + ", ") if gpart else "") + \
+        f"{id_col} {id_t}, n_tokens int, bin_id long, truncated boolean"
+    grouped = base.groupBy(*gcols) if gcols else base.groupBy()
+    return grouped.applyInPandas(pack, schema)
+
+
+def pack_sequences_oracle_sql(ctx_tokens: int = 2048,
+                              group_col: str | None = None,
+                              table="documents", text_col="text",
+                              id_col="doc_id", seed: int = 42) -> str:
+    """Recursive-CTE DuckDB twin of pack_sequences: the greedy
+    cumsum-with-reset recurrence unrolled over row positions per
+    group (an independent formulation of the same scan)."""
+    toks = f"len(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))"
+    h = f"(({id_col} * 2654435761 + {seed}) % 4294967296)"
+    grp = group_col or "''"
+    return f"""
+        WITH RECURSIVE s AS (
+            SELECT {grp} AS g, {id_col}, {toks} AS n_tokens,
+                   row_number() OVER (PARTITION BY {grp}
+                       ORDER BY {h}, {id_col}) AS pos
+            FROM {table}
+        ),
+        packed(g, {id_col}, n_tokens, pos, bin_id, acc) AS (
+            SELECT g, {id_col}, n_tokens, pos, 0::BIGINT, n_tokens
+            FROM s WHERE pos = 1
+            UNION ALL
+            SELECT s.g, s.{id_col}, s.n_tokens, s.pos,
+                   CASE WHEN p.acc > 0 AND p.acc + s.n_tokens > {ctx_tokens}
+                        THEN p.bin_id + 1 ELSE p.bin_id END,
+                   CASE WHEN p.acc > 0 AND p.acc + s.n_tokens > {ctx_tokens}
+                        THEN s.n_tokens ELSE p.acc + s.n_tokens END
+            FROM packed p JOIN s ON s.g = p.g AND s.pos = p.pos + 1
+        )
+        SELECT {('g AS ' + group_col + ',') if group_col else ''}
+               {id_col}, CAST(n_tokens AS INT) AS n_tokens, bin_id,
+               (n_tokens > {ctx_tokens}) AS truncated
+        FROM packed
+    """
+
+
 def doc_fingerprint(documents: DataFrame, text_col="text", id_col="doc_id",
                     k: int = 8, window: int = 16) -> DataFrame:
     """Winnowing fingerprint: min rolling-hash per sliding window,

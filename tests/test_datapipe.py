@@ -827,3 +827,49 @@ def test_hamming_band_pairs_guard_preserves_pairs(spark):
         return {(r.left_id, r.right_id, int(r.hamming))
                 for r in out.itertuples(index=False)}
     assert pairs(4) == pairs(1 << 30)
+
+
+def test_token_budget_sample(spark):
+    rows = [(i, "word " * (10 * (i % 3 + 1))) for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.token_budget_sample(df, budget_tokens=100).toPandas()
+    # mirror: hash order, running sum, cut at budget
+    toks = {i: 10 * (i % 3 + 1) for i in range(40)}
+    order = sorted(range(40), key=lambda d: ((d * 2654435761 + 42) % (1 << 32), d))
+    cum, want = 0, {}
+    for d in order:
+        cum += toks[d]
+        if cum > 100:
+            break
+        want[d] = cum
+    got = {r.doc_id: r.cum_tokens for r in out.itertuples(index=False)}
+    assert got == want and len(want) > 1
+
+
+def test_pack_sequences_greedy(spark):
+    # tokens: 100, 200, 150, 300(oversized at ctx=250), 60, 120
+    sizes = {1: 100, 2: 200, 3: 150, 4: 300, 5: 60, 6: 120}
+    rows = [(i, "w " * n) for i, n in sizes.items()]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.pack_sequences(df, ctx_tokens=250).toPandas() \
+        .set_index("doc_id").sort_index()
+    # python mirror of the greedy scan in hash order
+    order = sorted(sizes, key=lambda d: ((d * 2654435761 + 42) % (1 << 32), d))
+    b, acc, want = 0, 0, {}
+    for d in order:
+        v = sizes[d]
+        if acc > 0 and acc + v > 250:
+            b, acc = b + 1, 0
+        want[d] = b
+        acc += v
+    for d, binid in want.items():
+        assert out.loc[d, "bin_id"] == binid
+        assert bool(out.loc[d, "truncated"]) == (sizes[d] > 250)
+    # every non-oversized bin respects the context budget
+    ok = out[~out.truncated].groupby("bin_id").n_tokens.sum()
+    assert (ok <= 250).all()
+    # grouped variant partitions the scan per group
+    df2 = df.withColumn("grp", (F.col("doc_id") % 2).cast("string"))
+    g = D.pack_sequences(df2, ctx_tokens=250, group_col="grp").toPandas()
+    assert set(g.grp) == {"0", "1"}
+    assert (g[~g.truncated].groupby(["grp", "bin_id"]).n_tokens.sum() <= 250).all()
