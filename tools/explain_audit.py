@@ -64,6 +64,11 @@ AUDITS = [
     # chunk-pair salt explode is physically present on both sides
     ("phash_dedup", ["BroadcastHashJoin", "bit_count", "codegen id",
                      "!CartesianProduct", "explode(sequence("]),
+    # per-split running token sum: the window partitions by the split
+    # key — never a single global partition
+    ("token_budget_sample", ["Window", "!SinglePartition"]),
+    # greedy packing kernel: one Arrow group-map per split partition
+    ("pack_sequences", ["FlatMapGroupsInPandas", "!SinglePartition"]),
     # "!fact" = the fact must be ABSENT from the plan
     # hot-bucket guard: the LSH self-join must key on the chunk PAIR
     # (bucket + both salt columns), so no shuffle key ever owns more
