@@ -207,7 +207,11 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
     envelope prefilter is geodesic and sphere/ellipsoid distances can
     differ by up to ~0.6%, over-coverage being harmless)."""
     res = cells.res_for_edge_m(max(eps_m, 1.0) * 2)
-    pts = points.select(id_col, "lat", "lon").cache()
+    # localCheckpoint, not .cache(): pts/edges feed 3+ branches of the
+    # RETURNED lazy plan, so an unpersist() before the caller executes
+    # would defeat the reuse and a cache entry would leak for the
+    # session — checkpoint blocks are GC-reclaimed with the DataFrame
+    pts = points.select(id_col, "lat", "lon").localCheckpoint(eager=True)
     cover_m = eps_m * 1.01 if metric == "haversine" else eps_m
     dist_fn = haversine_np if metric == "haversine" else geo.distance
 
@@ -251,7 +255,7 @@ def dbscan_2d(points: DataFrame, eps_m: float, min_pts: int,
             yield pdf.loc[keep, ["a", "b"]]
 
     edge_schema = T.StructType([T.StructField("a", id_type), T.StructField("b", id_type)])
-    edges = cand.mapInPandas(refine, edge_schema).cache()
+    edges = cand.mapInPandas(refine, edge_schema).localCheckpoint(eager=True)
 
     # 2. core points
     deg = edges.groupBy("a").agg(F.count("*").alias("nbrs"))
