@@ -53,6 +53,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels are localCheckpointed each round, so the returned plan no
+    # longer references und — release the cache instead of leaking one
+    # entry per invocation
+    und.unpersist()
     return (edges.select("edge_id", "source")
             .join(labels.withColumnRenamed("v", "source"), "source")
             .select("edge_id", F.col("label").alias("component")))
