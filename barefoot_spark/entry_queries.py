@@ -901,6 +901,76 @@ def oracle_pack_sequences(sf_dir):
             f"bin_id, truncated FROM ({inner}) z")
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Composed text-curation flagship: quality gate -> exact-dup keep
+    -> minhash near-dup keep-list, one hash-checked end-to-end
+    deliverable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DP.curate_corpus(docs)
+    return out.select("doc_id",
+                      F.col("canonical_id").cast("long").alias("canonical_id"),
+                      "keep", "cluster_size", "quality_score")
+
+
+def oracle_curate_corpus(sf_dir):
+    """Chained twin: text_stats quality SQL -> md5 window keep ->
+    the shared minhash CTE chain over the survivors -> recursive-CTE
+    closure keep-list (independent cluster resolution vs the star
+    kernel)."""
+    k, num_perm, bands_n = 5, 64, 16
+    rpb = num_perm // bands_n
+    m64 = "18446744073709551616::HUGEINT"
+    mp = "2305843009213693951::HUGEINT"
+    a, b = DP._minhash_params(num_perm, 42)
+    pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+                      for p in range(num_perm))
+    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
+        for j, m in enumerate(mult))
+    sel_sj = ", ".join(f"max(CASE WHEN p % {rpb} = {j} THEN s END) AS s{j}"
+                       for j in range(rpb))
+    horner = "s0"
+    for j in range(1, rpb):
+        horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
+    stats = DP.text_stats_oracle_sql()
+    ctes = _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
+                         sel_sj, horner, table="surv")
+    return f"""
+        WITH RECURSIVE
+        good AS (SELECT d.doc_id, d.text, s.quality_score
+                 FROM documents d
+                 JOIN (SELECT doc_id, quality_score FROM ({stats}) q
+                       WHERE quality_score >= 0.5) s USING (doc_id)),
+        surv AS (SELECT doc_id, text, quality_score FROM (
+                     SELECT g.*, row_number() OVER (
+                         PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                     FROM good g) z WHERE rn = 1),
+        {ctes},
+        dup AS (SELECT left_id, right_id FROM est WHERE est_jaccard >= 0.5),
+        und AS (SELECT left_id AS a, right_id AS b FROM dup
+                UNION SELECT right_id, left_id FROM dup),
+        vs AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM vs
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
+        sizes AS (SELECT canonical, count(*) AS sz FROM comp
+                  GROUP BY canonical)
+        SELECT s.doc_id,
+               CAST(coalesce(c.canonical, s.doc_id) AS BIGINT)
+                   AS canonical_id,
+               (s.doc_id = coalesce(c.canonical, s.doc_id)) AS keep,
+               CAST(coalesce(z.sz, 1) AS BIGINT) AS cluster_size,
+               s.quality_score
+        FROM surv s
+        LEFT JOIN comp c ON c.v = s.doc_id
+        LEFT JOIN sizes z ON z.canonical = c.canonical
+    """
+
+
 def q_image_dedup_keep(spark, sf_dir):
     """End-to-end IMAGE dedup deliverable: phash near-dup pairs ->
     duplicate clusters (large-star/small-star over string image ids;
@@ -1938,17 +2008,18 @@ def oracle_minhash_dedup(sf_dir):
 
 
 def _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms, sel_sj,
-                  horner) -> str:
+                  horner, table="documents") -> str:
     """The minhash pipeline's CTE chain (params ... est), shared
-    verbatim by oracle_minhash_dedup and oracle_dedup_keep_canonical
-    so the two gates can never drift apart."""
+    verbatim by oracle_minhash_dedup, oracle_dedup_keep_canonical and
+    oracle_curate_corpus so the gates can never drift apart. `table`
+    is any relation (or CTE name) exposing (doc_id, text)."""
     return f"""params(p, a, b) AS (VALUES {pvals}),
         padded AS (
             SELECT doc_id,
                    CASE WHEN length(coalesce(text, '')) < {k}
                         THEN rpad(coalesce(text, ''), {k}, ' ')
                         ELSE text END AS text
-            FROM documents
+            FROM {table}
         ), pos AS (
             SELECT d.doc_id, d.text, g.i
             FROM padded d,
@@ -2304,6 +2375,7 @@ QUERIES = {
     "image_dedup_keep": q_image_dedup_keep,
     "token_budget_sample": q_token_budget_sample,
     "pack_sequences": q_pack_sequences,
+    "curate_corpus": q_curate_corpus,
     "ann_topk": q_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "pq_ann_topk": q_pq_ann_topk,
@@ -2354,6 +2426,7 @@ ORACLES = {
     "image_dedup_keep": oracle_image_dedup_keep,
     "token_budget_sample": oracle_token_budget_sample,
     "pack_sequences": oracle_pack_sequences,
+    "curate_corpus": oracle_curate_corpus,
     "ann_topk": oracle_ann_topk,
     "ivf_ann_topk": oracle_ann_topk,
     "pq_ann_topk": oracle_pq_ann_topk,

@@ -1288,6 +1288,37 @@ def split_assign_oracle_sql(table="documents", id_col="doc_id",
     """
 
 
+def curate_corpus(documents: DataFrame, text_col="text", id_col="doc_id",
+                  quality_threshold: float = 0.5,
+                  jaccard_threshold: float = 0.5,
+                  band_key: str = "poly") -> DataFrame:
+    """The composed text-curation pipeline a training run actually
+    starts from: quality gate (text_stats score) -> exact-duplicate
+    keep (min id per md5 — cheap, and it caps minhash's degenerate
+    all-identical buckets by construction) -> MinHash near-dup
+    keep-list over the survivors. One row per surviving document:
+    (id, canonical_id, keep, cluster_size, quality_score).
+
+    Every stage is individually oracle-proven (text_stats,
+    exact_dedup, minhash_dedup, dedup_keep_canonical); composing them
+    here puts the END-TO-END keep-list under one hash check. Scale
+    shape is inherited: the gates are row-local / one hash shuffle,
+    and the near-dup stages only ever shuffle candidate keys."""
+    stats = text_stats(documents, text_col, id_col)
+    good = documents.select(id_col, text_col).join(
+        stats.filter(F.col("quality_score") >= quality_threshold)
+        .select(id_col, "quality_score"), id_col)
+    w = Window.partitionBy("_md5").orderBy(id_col)
+    exact = (good.withColumn("_md5", F.md5(F.col(text_col)))
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_md5", "_rn"))
+    pairs = minhash_dedup(exact, text_col, id_col,
+                          jaccard_threshold=jaccard_threshold,
+                          band_key=band_key)
+    keep = dedup_keep_canonical(exact, pairs, id_col=id_col)
+    return keep.join(exact.select(id_col, "quality_score"), id_col)
+
+
 def token_budget_sample(documents: DataFrame, budget_tokens: int,
                         group_col: str | None = None, text_col="text",
                         id_col="doc_id", seed: int = 42) -> DataFrame:

@@ -873,3 +873,23 @@ def test_pack_sequences_greedy(spark):
     g = D.pack_sequences(df2, ctx_tokens=250, group_col="grp").toPandas()
     assert set(g.grp) == {"0", "1"}
     assert (g[~g.truncated].groupby(["grp", "bin_id"]).n_tokens.sum() <= 250).all()
+
+
+def test_curate_corpus(spark, docs):
+    """Composed curation pipeline on the tiny corpus: exact dup of
+    doc 1 dies at the exact stage (only min id survives), near-dups
+    cluster under the minimum id, quality gate filters."""
+    out = D.curate_corpus(docs, quality_threshold=0.0,
+                          jaccard_threshold=0.5).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert 2 not in out.index          # exact dup of 1: removed pre-minhash
+    assert set(out.index) <= {1, 3, 4, 5, 6, 7}
+    # docs 3 and 6 are near-dups of 1 -> one cluster, canonical 1
+    assert out.loc[1, "canonical_id"] == 1 and bool(out.loc[1, "keep"])
+    for d in (3, 6):
+        if d in out.index and out.loc[d, "cluster_size"] > 1:
+            assert out.loc[d, "canonical_id"] == 1
+            assert not bool(out.loc[d, "keep"])
+    # with a real gate, every survivor meets the threshold
+    gated = D.curate_corpus(docs, quality_threshold=0.5).toPandas()
+    assert (gated.quality_score >= 0.5).all()
