@@ -69,6 +69,9 @@ AUDITS = [
     ("token_budget_sample", ["Window", "!SinglePartition"]),
     # greedy packing kernel: one Arrow group-map per split partition
     ("pack_sequences", ["FlatMapGroupsInPandas", "!SinglePartition"]),
+    # composed curation pipeline: every stage joins on keys (md5
+    # window, band bucket, broadcast keep-list) — nothing quadratic
+    ("curate_corpus", ["Window", "BroadcastHashJoin", "!CartesianProduct"]),
     # "!fact" = the fact must be ABSENT from the plan
     # hot-bucket guard: the LSH self-join must key on the chunk PAIR
     # (bucket + both salt columns), so no shuffle key ever owns more
