@@ -2312,6 +2312,22 @@ def oracle_doc_fingerprint(sf_dir):
     """
 
 
+def q_video_phash_dedup(spark, sf_dir):
+    """Video near-dup pairs via sampled-frame phashes (frame-0 band
+    candidates, all-positions hamming verify; bytes never shuffled) —
+    rows-only: the pipeline starts at a binary container decode, which
+    has no SQL twin (brute-force numpy equality lives in test_media)."""
+    from .sources import media as MM
+    pdf = MM.synth_videos_with_dups_pdf(96)
+    videos = spark.createDataFrame(pdf, schema=MM.VIDEOS_SCHEMA)
+    out = MM.video_phash_dedup(videos, every_n=4, max_hamming=3)
+    return out.select("left_id", "right_id",
+                      F.col("n_frames_matched").cast("long")
+                      .alias("n_frames_matched"),
+                      F.col("max_hamming_seen").cast("long")
+                      .alias("max_hamming_seen"))
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal feature extraction over binary image columns
     (decode -> per-channel stats, mapInPandas; bytes projected out
@@ -2349,6 +2365,7 @@ QUERIES = {
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "x0001_match": q_x0001_match,
     "video_frame_sample": q_video_frame_sample,
+    "video_phash_dedup": q_video_phash_dedup,
     "image_resize": q_image_resize,
     "audio_features": q_audio_features,
     "radius_join": q_radius_join,

@@ -230,3 +230,131 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
     return audio.select("audio_id", "bytes", "sr", "n_samples", "codec") \
         .mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video near-duplicate detection via sampled-frame phashes
+# ---------------------------------------------------------------------------
+
+FRAME_PHASH_SCHEMA = StructType([
+    StructField("video_id", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("phash", LongType(), False),
+])
+
+
+def frame_phashes(videos: DataFrame, every_n: int = 4) -> DataFrame:
+    """Per-sampled-frame perceptual hashes: decode every_n-th frame
+    (plus the last) straight from the container index and emit
+    (video_id, frame_idx, phash). The binary column never leaves the
+    kernel — downstream dedup shuffles 20 bytes/frame, not frames."""
+    from .images import phash64
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.n_frames <= 0:
+                    continue
+                data = bytes(r.bytes)
+                offs = video_frame_offsets(data)
+                idxs = sorted(set(range(0, r.n_frames, every_n))
+                              | {r.n_frames - 1})
+                for i in idxs:
+                    fr = decode_frame(data, offs, i, r.w, r.h)
+                    rows.append((r.video_id, int(i), phash64(fr)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_PHASH_SCHEMA.fields])
+
+    cols = ["video_id", "bytes", "w", "h", "n_frames", "fps"]
+    return videos.select(*cols).mapInPandas(run, FRAME_PHASH_SCHEMA)
+
+
+def video_phash_dedup(videos: DataFrame, every_n: int = 4,
+                      max_hamming: int = 3) -> DataFrame:
+    """Video near-duplicate pairs: two videos are near-dups iff they
+    sample the SAME frame positions (same frame count under the 1:N
+    policy) and EVERY corresponding sampled frame's phash is within
+    ``max_hamming`` bits. Returns (left_id, right_id, n_frames_matched,
+    max_hamming_seen).
+
+    Pipeline shape (the 100-TB story): one decode pass emits the tiny
+    (video, frame, phash) table; candidates come from an equi-join on
+    (frame_idx, block, key) — the per-frame analog of phash_dedup's
+    band pigeonhole, so any qualifying pair collides on at least one
+    block of EVERY frame, in particular frame 0 — and the verify is a
+    per-pair join over sampled positions only. Bytes are never
+    shuffled; everything after the decode UDF is whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+    fp = frame_phashes(videos, every_n).localCheckpoint(eager=True)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = fp.select(
+        "video_id", "frame_idx",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("phash", i * width).bitwiseAND(
+                         F.lit((1 << width) - 1)).alias("key"))
+            for i in range(nblocks)])).alias("b")) \
+        .select("video_id", "frame_idx", "b.blk", "b.key") \
+        .filter(F.col("frame_idx") == 0)   # frame 0 collision is necessary
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (l.join(r, [F.col("l.frame_idx") == F.col("r.frame_idx"),
+                       F.col("l.blk") == F.col("r.blk"),
+                       F.col("l.key") == F.col("r.key"),
+                       F.col("l.video_id") < F.col("r.video_id")])
+            .select(F.col("l.video_id").alias("left_id"),
+                    F.col("r.video_id").alias("right_id"))
+            .dropDuplicates(["left_id", "right_id"]))
+    cnt = fp.groupBy("video_id").agg(F.count("*").alias("nf"))
+    lf = fp.select(F.col("video_id").alias("left_id"), "frame_idx",
+                   F.col("phash").alias("lp"))
+    rf = fp.select(F.col("video_id").alias("right_id"), "frame_idx",
+                   F.col("phash").alias("rp"))
+    ham = F.bit_count(F.col("lp").bitwiseXOR(F.col("rp")))
+    agg = (cand.join(lf, "left_id").join(rf, ["right_id", "frame_idx"])
+           .groupBy("left_id", "right_id")
+           .agg(F.count("*").alias("n_frames_matched"),
+                F.max(ham).alias("max_hamming_seen")))
+    return (agg
+            .join(cnt.withColumnRenamed("video_id", "left_id")
+                  .withColumnRenamed("nf", "lnf"), "left_id")
+            .join(cnt.withColumnRenamed("video_id", "right_id")
+                  .withColumnRenamed("nf", "rnf"), "right_id")
+            .filter((F.col("max_hamming_seen") <= max_hamming)
+                    & (F.col("n_frames_matched") == F.col("lnf"))
+                    & (F.col("n_frames_matched") == F.col("rnf")))
+            .select("left_id", "right_id", "n_frames_matched",
+                    "max_hamming_seen"))
+
+
+def synth_videos_with_dups_pdf(n: int, dup_every: int = 3, w: int = 24,
+                               h: int = 16, n_frames: int = 12,
+                               fps: float = 4.0,
+                               seed: int = 7) -> pd.DataFrame:
+    """Video corpus with planted near-duplicates: every `dup_every`-th
+    video re-encodes a recent base video's frames with one brightened
+    8x8 block per frame (same perturbation recipe as
+    images.synth_images_with_dups_pdf), so its sampled-frame phashes
+    land within a few bits of the base's."""
+    rng = np.random.default_rng(seed)
+    codec = codecs.get_video_codec()
+    rows = []
+    for i in range(n):
+        vid = f"vid-{i:05d}"
+        if i % dup_every == dup_every - 1 and i > 0:
+            base_i = int(rng.integers(max(0, i - 6), i))
+            base_id = f"vid-{base_i:05d}"
+            by, bx = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+            bh, bw = h // 8, w // 8
+            frames = []
+            for fidx in range(n_frames):
+                px = synth_frame(base_id, fidx, w, h).astype(np.int16)
+                px[by * bh:(by + 1) * bh, bx * bw:(bx + 1) * bw] += 96
+                frames.append(np.clip(px, 0, 255).astype(np.uint8))
+            data = codec.encode_frames(frames)
+        else:
+            data = encode_video(vid, w, h, n_frames)
+        rows.append((vid, data, w, h, n_frames, fps))
+    return pd.DataFrame(rows, columns=[f.name for f in VIDEOS_SCHEMA.fields])

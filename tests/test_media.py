@@ -95,3 +95,35 @@ def test_audio_codec_stub():
         MD.decode_audio(b"xx", codec="mp3")
     with pytest.raises(NotImplementedError):
         MD.encode_audio(np.zeros(4, np.int16), codec="opus")
+
+
+def test_video_phash_dedup_matches_bruteforce(spark):
+    """Banded frame-0 candidates + all-positions verify == O(n^2) numpy
+    brute force over the planted near-dup video corpus."""
+    from barefoot_spark.sources import media as MM
+    from barefoot_spark.sources.images import phash64
+
+    pdf = MM.synth_videos_with_dups_pdf(48)
+    videos = spark.createDataFrame(pdf, schema=MM.VIDEOS_SCHEMA)
+    out = MM.video_phash_dedup(videos, every_n=4, max_hamming=3).toPandas()
+    got = {(r.left_id, r.right_id) for r in out.itertuples(index=False)}
+
+    # brute force: decode every container directly
+    sigs = {}
+    for r in pdf.itertuples(index=False):
+        data = bytes(r.bytes)
+        offs = MM.video_frame_offsets(data)
+        idxs = sorted(set(range(0, r.n_frames, 4)) | {r.n_frames - 1})
+        sigs[r.video_id] = [phash64(MM.decode_frame(data, offs, i, r.w, r.h))
+                            for i in idxs]
+    ids = sorted(sigs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sigs[ids[i]], sigs[ids[j]]
+            m64 = (1 << 64) - 1   # two's-complement view: int64 phashes
+            if len(a) == len(b) and all(
+                    bin((x ^ y) & m64).count("1") <= 3 for x, y in zip(a, b)):
+                want.add((ids[i], ids[j]))
+    assert got == want and len(want) > 0
+    assert (out.max_hamming_seen <= 3).all()
