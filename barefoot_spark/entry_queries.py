@@ -1022,6 +1022,113 @@ def oracle_image_dedup_keep(sf_dir):
     """
 
 
+def q_curate_images(spark, sf_dir):
+    """Composed multimodal curation flagship over the input-hint
+    image+caption table: geometry/format gate -> caption
+    well-formedness gate -> exact-dup keep -> phash near-dup
+    keep-list, one hash-checked end-to-end deliverable. The fixture
+    corpus plants near-dups AND degenerate rows for every gate."""
+    from .sources import images as IM
+    pdf = IM.synth_images_curation_pdf(512)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    return DP.curate_images(images).select(
+        "image_id", "canonical_id", "keep", "cluster_size",
+        "quality_score")
+
+
+def oracle_curate_images(sf_dir):
+    """Chained twin over the SAME deterministic scalar columns as a
+    VALUES table (bytes never enter — the pipeline reads metadata
+    only): text_stats caption SQL -> gate predicates -> (phash,
+    caption) window keep -> brute-force O(n^2) hamming pairs (an
+    independent algorithm vs Spark's banded join) -> recursive-CTE
+    reachability closure (independent cluster resolution vs the star
+    kernel)."""
+    from .sources import images as IM
+    pdf = IM.synth_images_curation_pdf(512)
+
+    def esc(s):
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{r.image_id}', {int(r.w)}, {int(r.h)}, '{r.fmt}', "
+        f"'{esc(r.caption)}', {int(r.phash)})"
+        for r in pdf[["image_id", "w", "h", "fmt", "caption",
+                      "phash"]].itertuples(index=False))
+    stats = DP.text_stats_oracle_sql(table="img", text_col="caption",
+                                     id_col="image_id")
+    return f"""
+        WITH RECURSIVE
+        img(image_id, w, h, fmt, caption, phash) AS (VALUES {vals}),
+        st AS ({stats}),
+        gated AS (
+            SELECT i.image_id, i.caption, i.phash, s.quality_score
+            FROM img i JOIN st s USING (image_id)
+            WHERE i.w >= 16 AND i.h >= 16
+              AND greatest(i.w, i.h) <= 4.0 * least(i.w, i.h)
+              AND i.fmt IN ('png', 'jpeg')
+              AND s.word_tokens >= 3 AND s.punct_ratio <= 0.2
+        ),
+        surv AS (SELECT image_id, phash, quality_score FROM (
+                     SELECT g.*, row_number() OVER (
+                         PARTITION BY phash, caption
+                         ORDER BY image_id) AS rn
+                     FROM gated g) z WHERE rn = 1),
+        dup AS (SELECT l.image_id AS a0, r.image_id AS b0
+                FROM surv l JOIN surv r ON l.image_id < r.image_id
+                WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+        und AS (SELECT a0 AS a, b0 AS b FROM dup
+                UNION SELECT b0, a0 FROM dup),
+        vs AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM vs
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
+        sizes AS (SELECT canonical, count(*) AS sz FROM comp
+                  GROUP BY canonical)
+        SELECT s.image_id,
+               coalesce(c.canonical, s.image_id) AS canonical_id,
+               (s.image_id = coalesce(c.canonical, s.image_id)) AS keep,
+               CAST(coalesce(z.sz, 1) AS BIGINT) AS cluster_size,
+               s.quality_score
+        FROM surv s
+        LEFT JOIN comp c ON c.v = s.image_id
+        LEFT JOIN sizes z ON z.canonical = c.canonical
+    """
+
+
+def q_frame_thinning(spark, sf_dir):
+    """Trajectory frame thinning (the reference's sample-thinning gate
+    on image trajectories): drop frames arriving within min_interval
+    of the last kept frame whose phash is within max_hamming bits of
+    it. Sequential per-trajectory recurrence as an applyInPandas
+    kernel."""
+    from .sources import images as IM
+    pdf = IM.synth_frame_stream_pdf(16, 48)
+    frames = spark.createDataFrame(pdf).repartition(8)
+    out = DP.frame_thinning(frames)
+    return out.select(F.col("traj_id").cast("long").alias("traj_id"),
+                      "image_id", F.col("t").cast("long").alias("t"),
+                      "kept")
+
+
+def oracle_frame_thinning(sf_dir):
+    """Recursive-CTE unroll of the same keep/reference recurrence over
+    a VALUES table of the identical deterministic stream."""
+    from .sources import images as IM
+    pdf = IM.synth_frame_stream_pdf(16, 48)
+    vals = ", ".join(
+        f"({int(r.traj_id)}, '{r.image_id}', {int(r.t)}, {int(r.phash)})"
+        for r in pdf.itertuples(index=False))
+    inner = DP.frame_thinning_oracle_sql(
+        table=f"(SELECT * FROM (VALUES {vals}) "
+              f"AS v(traj_id, image_id, t, phash))")
+    return (f"SELECT CAST(traj_id AS BIGINT) AS traj_id, image_id, "
+            f"CAST(t AS BIGINT) AS t, kept FROM ({inner}) z")
+
+
 def q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
@@ -2390,6 +2497,8 @@ QUERIES = {
     "split_assign": q_split_assign,
     "phash_dedup": q_phash_dedup,
     "image_dedup_keep": q_image_dedup_keep,
+    "curate_images": q_curate_images,
+    "frame_thinning": q_frame_thinning,
     "token_budget_sample": q_token_budget_sample,
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
@@ -2441,6 +2550,8 @@ ORACLES = {
     "split_assign": oracle_split_assign,
     "phash_dedup": oracle_phash_dedup,
     "image_dedup_keep": oracle_image_dedup_keep,
+    "curate_images": oracle_curate_images,
+    "frame_thinning": oracle_frame_thinning,
     "token_budget_sample": oracle_token_budget_sample,
     "pack_sequences": oracle_pack_sequences,
     "curate_corpus": oracle_curate_corpus,

@@ -474,6 +474,150 @@ def phash_dedup(images: DataFrame, max_hamming: int = 3,
         phash_col, id_col, max_hamming)
 
 
+def curate_images(images: DataFrame, id_col="image_id",
+                  caption_col="caption",
+                  min_w: int = 16, min_h: int = 16,
+                  max_aspect: float = 4.0,
+                  fmts=("png", "jpeg"),
+                  min_caption_words: int = 3,
+                  max_caption_punct: float = 0.2,
+                  max_hamming: int = 3) -> DataFrame:
+    """The composed multimodal curation flagship over the input-hint
+    image+caption table: geometry/format gate -> caption
+    well-formedness gate -> exact-duplicate keep -> phash near-dup
+    keep-list. One row per surviving image:
+    (image_id, canonical_id, keep, cluster_size, quality_score).
+
+    Gates:
+      * geometry: ``w >= min_w``, ``h >= min_h`` and
+        ``greatest(w,h) <= max_aspect * least(w,h)`` (banner strips
+        and thumbnails out);
+      * format: ``fmt`` in `fmts`;
+      * caption: at least `min_caption_words` word tokens and a
+        punctuation ratio <= `max_caption_punct` (text_stats columns
+        — empty/junk captions out); quality_score carries through for
+        reporting.
+    Exact duplicates are identical (phash, caption) rows — the min id
+    survives; near-duplicates come from the block-banded phash hamming
+    join (hamming_band_pairs pigeonhole guarantee) resolved to
+    clusters by the star kernel (dedup_keep_canonical).
+
+    100-TB shape: every stage reads scalar metadata only — the
+    multi-KB ``bytes`` column is pruned at the scan (never selected);
+    the gates are row-local filters the scan absorbs; the exact-dup
+    window shuffles narrow rows on (phash, caption); the near-dup
+    stages shuffle only band keys and the verified pair set; both
+    corpus joins inside the keep-list are broadcasts."""
+    stats = text_stats(images.select(F.col(id_col), F.col(caption_col)),
+                       text_col=caption_col, id_col=id_col)
+    cap_ok = (stats.filter((F.col("word_tokens") >= min_caption_words)
+                           & (F.col("punct_ratio") <= max_caption_punct))
+              .select(id_col, "quality_score"))
+    gated = (images.select(id_col, "w", "h", "fmt", caption_col, "phash")
+             .filter((F.col("w") >= min_w) & (F.col("h") >= min_h)
+                     & (F.greatest("w", "h")
+                        <= F.lit(float(max_aspect)) * F.least("w", "h"))
+                     & F.col("fmt").isin(*fmts))
+             .join(cap_ok, id_col))
+    w = Window.partitionBy("phash", caption_col).orderBy(id_col)
+    exact = (gated.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    pairs = hamming_band_pairs(exact.select(F.col(id_col), F.col("phash")),
+                               "phash", id_col, max_hamming)
+    keep = dedup_keep_canonical(exact, pairs, id_col=id_col)
+    return keep.join(exact.select(id_col, "quality_score"), id_col)
+
+
+def frame_thinning(frames: DataFrame, traj_col="traj_id", time_col="t",
+                   id_col="image_id", phash_col="phash",
+                   min_interval: int = 4, max_hamming: int = 6) -> DataFrame:
+    """Trajectory frame thinning — the reference's sample-thinning gate
+    (``matcher/MatcherServer.java`` interval semantics, mirrored for
+    GPS samples in operators/match.py) transplanted onto image
+    trajectories (the north framing: trajectory groups of images play
+    the role of GPS traces). Walking each trajectory in time order, a
+    frame is DROPPED iff it arrives within `min_interval` time units
+    of the last KEPT frame AND its phash is within `max_hamming` bits
+    of that frame's (a near-identical consecutive frame — static
+    scene); otherwise it is kept and becomes the new reference.
+    Returns (traj, id, t, kept) for every input frame.
+
+    The keep decision depends on the last KEPT frame, not the previous
+    row — a cumsum-with-reset recurrence like pack_sequences — so it
+    runs as an applyInPandas kernel per trajectory: ordering keys and
+    the two scalar columns the loop touches are computed JVM-side, one
+    trajectory = one task, kernel memory is bounded by trajectory
+    length (never corpus size), and the bytes column is pruned before
+    the shuffle. The same recurrence is SQL-expressible as a
+    recursive CTE (frame_thinning_oracle_sql)."""
+    dt = dict(frames.select(traj_col, id_col, time_col).dtypes)
+    base = frames.select(F.col(traj_col), F.col(id_col),
+                         F.col(time_col).cast("long").alias("_t"),
+                         F.col(phash_col).cast("long").alias("_ph"))
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_t", id_col]).reset_index(drop=True)
+        t = pdf["_t"].to_numpy()
+        ph = pdf["_ph"].to_numpy().astype(np.uint64)
+        kept = np.zeros(len(t), dtype=bool)
+        have = False
+        lt = np.int64(0)
+        lp = np.uint64(0)
+        for i in range(len(t)):
+            if not have:
+                k = True
+            else:
+                near_t = (t[i] - lt) < min_interval
+                ham = int(ph[i] ^ lp).bit_count()
+                k = not (near_t and ham <= max_hamming)
+            kept[i] = k
+            if k:
+                have, lt, lp = True, t[i], ph[i]
+        out = pdf[[traj_col, id_col, "_t"]].copy()
+        out["kept"] = kept
+        return out
+
+    schema = (f"{traj_col} {dt[traj_col]}, {id_col} {dt[id_col]}, "
+              f"_t long, kept boolean")
+    out = base.groupBy(traj_col).applyInPandas(walk, schema)
+    return out.withColumnRenamed("_t", time_col)
+
+
+def frame_thinning_oracle_sql(table="frames", traj_col="traj_id",
+                              time_col="t", id_col="image_id",
+                              phash_col="phash", min_interval: int = 4,
+                              max_hamming: int = 6) -> str:
+    """Recursive-CTE DuckDB twin of frame_thinning: the keep/reference
+    recurrence unrolled over row positions per trajectory (an
+    independent formulation of the same sequential scan)."""
+    drop = (f"(s.{time_col} - w.last_t < {min_interval} AND "
+            f"bit_count(xor(s.{phash_col}, w.last_ph)) <= {max_hamming})")
+    return f"""
+        WITH RECURSIVE s AS (
+            SELECT {traj_col}, {id_col}, {time_col}, {phash_col},
+                   row_number() OVER (PARTITION BY {traj_col}
+                       ORDER BY {time_col}, {id_col}) AS pos
+            FROM {table}
+        ),
+        walk({traj_col}, {id_col}, {time_col}, pos, kept, last_t,
+             last_ph) AS (
+            SELECT {traj_col}, {id_col}, {time_col}, pos, TRUE,
+                   {time_col}, {phash_col}
+            FROM s WHERE pos = 1
+            UNION ALL
+            SELECT s.{traj_col}, s.{id_col}, s.{time_col}, s.pos,
+                   NOT {drop},
+                   CASE WHEN NOT {drop} THEN s.{time_col}
+                        ELSE w.last_t END,
+                   CASE WHEN NOT {drop} THEN s.{phash_col}
+                        ELSE w.last_ph END
+            FROM walk w JOIN s ON s.{traj_col} = w.{traj_col}
+                              AND s.pos = w.pos + 1
+        )
+        SELECT {traj_col}, {id_col}, {time_col}, kept FROM walk
+    """
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact) on candidate pairs
 # ---------------------------------------------------------------------------

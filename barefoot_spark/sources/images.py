@@ -149,6 +149,63 @@ def synth_images_with_dups_pdf(n: int, dup_every: int = 4, seed: int = _SEED,
     return pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
 
 
+def synth_images_curation_pdf(n: int, seed: int = _SEED) -> pd.DataFrame:
+    """Curation fixture: the planted-near-dup corpus PLUS degenerate
+    rows that exercise every ``curate_images`` gate — tiny frames,
+    banner-strip aspect ratios, non-whitelisted format labels, and
+    malformed captions. Resized rows stay self-consistent (bytes and
+    phash re-derive from the resized pixels); the format-label rows
+    keep their original payload (the gate reads the fmt column, not
+    the bytes)."""
+    pdf = synth_images_with_dups_pdf(n, seed=seed)
+    rng = np.random.default_rng(seed ^ 0xCA7)
+    junk = ["", "!!!", "??? ### $$$", "zzzzzzz"]
+    for i in range(n):
+        image_id = pdf.at[i, "image_id"]
+        if i % 17 == 5:          # tiny frame -> min-dimension gate
+            w2, h2 = 12, 8
+        elif i % 17 == 9:        # banner strip -> aspect gate
+            w2, h2 = 64, 8
+        else:
+            w2 = h2 = None
+        if w2 is not None:
+            px = synth_pixels(image_id, w2, h2)
+            pdf.at[i, "bytes"] = encode_image(px, pdf.at[i, "fmt"])
+            pdf.at[i, "w"] = w2
+            pdf.at[i, "h"] = h2
+            pdf.at[i, "phash"] = phash64(px)
+        if i % 17 == 13:         # non-whitelisted format label
+            pdf.at[i, "fmt"] = "bmp"
+        if i % 13 == 7:          # malformed caption -> caption gate
+            pdf.at[i, "caption"] = junk[int(rng.integers(0, len(junk)))]
+    return pdf
+
+
+def synth_frame_stream_pdf(n_traj: int = 16, frames: int = 48,
+                           seed: int = _SEED) -> pd.DataFrame:
+    """Deterministic image-trajectory stream for frame thinning
+    (traj_id, image_id, t, phash): consecutive frames mostly perturb
+    0-2 phash bits of the previous frame (a static scene), with
+    occasional cuts to a fresh hash; inter-frame time gaps vary in
+    [1, 5] so the thinning time gate discriminates."""
+    rng = np.random.default_rng(seed ^ 0xF7A3E5)
+    rows = []
+    for tr in range(n_traj):
+        t = 0
+        ph = np.uint64(rng.integers(0, 1 << 63, dtype=np.uint64))
+        for fi in range(frames):
+            t += int(rng.integers(1, 6))
+            if rng.random() < 0.25:      # scene cut
+                ph = np.uint64(rng.integers(0, 1 << 63, dtype=np.uint64))
+            else:                        # near-identical frame
+                for _ in range(int(rng.integers(0, 3))):
+                    ph = ph ^ (np.uint64(1)
+                               << np.uint64(rng.integers(0, 64)))
+            rows.append((tr, f"frm-{tr:04d}-{fi:04d}", t,
+                         int(ph.astype(np.int64))))
+    return pd.DataFrame(rows, columns=["traj_id", "image_id", "t", "phash"])
+
+
 VERIFY_SCHEMA = StructType([
     StructField("image_id", StringType()),
     StructField("fmt", StringType()),

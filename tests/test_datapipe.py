@@ -893,3 +893,133 @@ def test_curate_corpus(spark, docs):
     # with a real gate, every survivor meets the threshold
     gated = D.curate_corpus(docs, quality_threshold=0.5).toPandas()
     assert (gated.quality_score >= 0.5).all()
+
+
+# ---------------------------------------------------------------------------
+# multimodal curation flagship + trajectory frame thinning (round 4)
+# ---------------------------------------------------------------------------
+
+def test_curate_images_matches_python_reference(spark):
+    """End-to-end keep-list == a python mirror (regex gates + exact-dup
+    scan + union-find over brute-force hamming pairs), and every gate
+    provably fires on the fixture."""
+    import re
+    from barefoot_spark.sources import images as IM
+    pdf = IM.synth_images_curation_pdf(256)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    out = (D.curate_images(images).toPandas()
+           .set_index("image_id").sort_index())
+
+    rows = pdf.to_dict("records")
+
+    def words(s):
+        return len(re.findall(r"[a-z0-9]+", s.lower()))
+
+    def punct_ratio(s):
+        chars = len(s)
+        punct = chars - len(re.sub(r"[^a-zA-Z0-9 \t\n\r]", "", s))
+        return round(punct / max(chars, 1), 6)
+
+    geom_fail = [r for r in rows if not (
+        r["w"] >= 16 and r["h"] >= 16
+        and max(r["w"], r["h"]) <= 4.0 * min(r["w"], r["h"]))]
+    fmt_fail = [r for r in rows if r["fmt"] not in ("png", "jpeg")]
+    cap_fail = [r for r in rows
+                if words(r["caption"]) < 3 or punct_ratio(r["caption"]) > 0.2]
+    assert geom_fail and fmt_fail and cap_fail   # every gate exercised
+
+    surv = [r for r in rows
+            if r not in geom_fail and r not in fmt_fail and r not in cap_fail]
+    # exact dedup on (phash, caption): min id survives
+    first = {}
+    for r in sorted(surv, key=lambda r: r["image_id"]):
+        first.setdefault((r["phash"], r["caption"]), r)
+    exact = sorted(first.values(), key=lambda r: r["image_id"])
+    assert len(exact) < len(rows)
+
+    # union-find over brute-force hamming<=3 pairs
+    parent = {r["image_id"]: r["image_id"] for r in exact}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    npairs = 0
+    for i in range(len(exact)):
+        for j in range(i + 1, len(exact)):
+            h = bin((int(exact[i]["phash"]) ^ int(exact[j]["phash"]))
+                    & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                npairs += 1
+                a, b = find(exact[i]["image_id"]), find(exact[j]["image_id"])
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    assert npairs > 0                            # near-dup stage exercised
+    canon = {i: find(i) for i in parent}
+    sizes = {}
+    for c in canon.values():
+        sizes[c] = sizes.get(c, 0) + 1
+
+    assert set(out.index) == set(canon)
+    for r in exact:
+        i = r["image_id"]
+        assert out.loc[i, "canonical_id"] == canon[i]
+        assert bool(out.loc[i, "keep"]) == (i == canon[i])
+        assert out.loc[i, "cluster_size"] == sizes[canon[i]]
+
+
+def test_frame_thinning_matches_sequential_reference(spark):
+    """Kernel keep flags == a python sequential walk per trajectory;
+    output invariant under input partitioning; both gate arms matter."""
+    from barefoot_spark.sources import images as IM
+    pdf = IM.synth_frame_stream_pdf(8, 40)
+    out = (D.frame_thinning(spark.createDataFrame(pdf).repartition(7))
+           .toPandas().set_index("image_id").sort_index())
+
+    want = {}
+    for tr, grp in pdf.groupby("traj_id"):
+        grp = grp.sort_values(["t", "image_id"])
+        lt = lp = None
+        for r in grp.itertuples(index=False):
+            if lt is None:
+                k = True
+            else:
+                near_t = (r.t - lt) < 4
+                ham = bin((int(r.phash) ^ int(lp))
+                          & 0xFFFFFFFFFFFFFFFF).count("1")
+                k = not (near_t and ham <= 6)
+            want[r.image_id] = k
+            if k:
+                lt, lp = r.t, r.phash
+    assert len(out) == len(pdf)
+    for iid, k in want.items():
+        assert bool(out.loc[iid, "kept"]) == k
+    kept = out.kept.to_numpy()
+    assert 0 < kept.sum() < len(out)             # both outcomes occur
+
+    out2 = (D.frame_thinning(spark.createDataFrame(pdf).repartition(3))
+            .toPandas().set_index("image_id").sort_index())
+    assert (out2.kept == out.kept).all()
+
+
+def test_frame_thinning_gate_arms(spark):
+    """Time-close but visually-different frames are kept; visually
+    identical but time-separated frames are kept; only the AND of the
+    two arms drops."""
+    rows = [
+        (0, "f0", 10, 0),
+        (0, "f1", 11, 0),        # close + identical -> dropped
+        (0, "f2", 12, -1),       # close but 64 bits away -> kept
+        (0, "f3", 30, -1),       # identical to last kept, far in time -> kept
+        (0, "f4", 31, -1),       # close + identical to f3 -> dropped
+    ]
+    pdf = pd.DataFrame(rows, columns=["traj_id", "image_id", "t", "phash"])
+    out = (D.frame_thinning(spark.createDataFrame(pdf))
+           .toPandas().set_index("image_id"))
+    assert bool(out.loc["f0", "kept"])
+    assert not bool(out.loc["f1", "kept"])
+    assert bool(out.loc["f2", "kept"])
+    assert bool(out.loc["f3", "kept"])
+    assert not bool(out.loc["f4", "kept"])
