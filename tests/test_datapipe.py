@@ -1023,3 +1023,25 @@ def test_frame_thinning_gate_arms(spark):
     assert bool(out.loc["f2", "kept"])
     assert bool(out.loc["f3", "kept"])
     assert not bool(out.loc["f4", "kept"])
+
+
+def test_curate_images_prunes_bytes_from_scan(spark, tmp_path):
+    """The 100-TB claim of curate_images: over a parquet source the
+    multi-KB bytes payload never leaves the scan — every physical scan
+    in the plan reads scalar metadata only."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+    from barefoot_spark.sources import images as IM
+    path = str(tmp_path / "imgs")
+    spark.createDataFrame(IM.synth_images_curation_pdf(64),
+                          schema=IM.IMAGES_SCHEMA) \
+        .write.mode("overwrite").parquet(path)
+    out = D.curate_images(spark.read.parquet(path))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas, plan[:2000]
+    assert all("bytes" not in s for s in schemas), schemas
