@@ -1099,6 +1099,75 @@ def oracle_curate_images(sf_dir):
     """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Rolling-crawl dedup shape: probe a new ingest batch against an
+    already-indexed corpus (banded hamming equi-join — the index is
+    never re-paired with itself), then cluster the survivors within
+    the batch. (image_id, keep, reason, match_id) per new image."""
+    from .sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(640)
+    index = spark.createDataFrame(pdf.iloc[:384].reset_index(drop=True),
+                                  schema=IM.IMAGES_SCHEMA)
+    new = spark.createDataFrame(pdf.iloc[384:].reset_index(drop=True),
+                                schema=IM.IMAGES_SCHEMA)
+    return DP.incremental_dedup(new, index).select(
+        "image_id", "keep", "reason", "match_id")
+
+
+def oracle_incremental_dedup(sf_dir):
+    """Brute-force twin: O(n*m) index probe with (hamming, id)
+    best-match tie-break, NOT-IN survivor set, O(n^2) within-batch
+    pairs + recursive-CTE closure — all independent algorithms vs the
+    banded joins and the star kernel."""
+    from .sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(640)
+
+    def vals(part):
+        return ", ".join(f"('{r.image_id}', {int(r.phash)})"
+                         for r in part[["image_id", "phash"]]
+                         .itertuples(index=False))
+
+    return f"""
+        WITH RECURSIVE
+        idx(image_id, phash) AS (VALUES {vals(pdf.iloc[:384])}),
+        newb(image_id, phash) AS (VALUES {vals(pdf.iloc[384:])}),
+        hits AS (
+            SELECT n.image_id AS pid, i.image_id AS iid,
+                   bit_count(xor(n.phash, i.phash)) AS ham
+            FROM newb n JOIN idx i
+              ON bit_count(xor(n.phash, i.phash)) <= 3),
+        best AS (SELECT pid, iid FROM (
+                     SELECT pid, iid, row_number() OVER (
+                         PARTITION BY pid ORDER BY ham, iid) AS rn
+                     FROM hits) z WHERE rn = 1),
+        surv AS (SELECT * FROM newb
+                 WHERE image_id NOT IN (SELECT pid FROM best)),
+        dup AS (SELECT l.image_id AS a0, r.image_id AS b0
+                FROM surv l JOIN surv r ON l.image_id < r.image_id
+                WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+        und AS (SELECT a0 AS a, b0 AS b FROM dup
+                UNION SELECT b0, a0 FROM dup),
+        vs AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM vs
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v)
+        SELECT pid AS image_id, FALSE AS keep,
+               'index_dup' AS reason, iid AS match_id
+        FROM best
+        UNION ALL
+        SELECT s.image_id,
+               (c.canonical IS NULL OR s.image_id = c.canonical) AS keep,
+               CASE WHEN c.canonical IS NULL OR s.image_id = c.canonical
+                    THEN NULL ELSE 'batch_dup' END AS reason,
+               CASE WHEN c.canonical IS NULL OR s.image_id = c.canonical
+                    THEN NULL ELSE c.canonical END AS match_id
+        FROM surv s LEFT JOIN comp c ON c.v = s.image_id
+    """
+
+
 def q_frame_thinning(spark, sf_dir):
     """Trajectory frame thinning (the reference's sample-thinning gate
     on image trajectories): drop frames arriving within min_interval
@@ -2499,6 +2568,7 @@ QUERIES = {
     "image_dedup_keep": q_image_dedup_keep,
     "curate_images": q_curate_images,
     "frame_thinning": q_frame_thinning,
+    "incremental_dedup": q_incremental_dedup,
     "token_budget_sample": q_token_budget_sample,
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
@@ -2552,6 +2622,7 @@ ORACLES = {
     "image_dedup_keep": oracle_image_dedup_keep,
     "curate_images": oracle_curate_images,
     "frame_thinning": oracle_frame_thinning,
+    "incremental_dedup": oracle_incremental_dedup,
     "token_budget_sample": oracle_token_budget_sample,
     "pack_sequences": oracle_pack_sequences,
     "curate_corpus": oracle_curate_corpus,

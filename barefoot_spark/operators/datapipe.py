@@ -438,6 +438,110 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str, id_col: str,
             .select("left_id", "right_id", "hamming"))
 
 
+def hamming_join(probe: DataFrame, index: DataFrame,
+                 sig_col: str = "phash", id_col: str = "image_id",
+                 max_hamming: int = 3, bucket_cap: int = 4096) -> DataFrame:
+    """Two-table banded hamming join: every (probe, index) pair within
+    ``max_hamming`` bits over an int64 signature column, as
+    (probe_id, index_id, hamming). Same block-pigeonhole banding as
+    hamming_band_pairs but across DIFFERENT relations — the
+    incremental-dedup primitive: probe a new ingest batch against an
+    already-indexed corpus without re-pairing the corpus with itself.
+
+    Scale shape: candidates are an equi-join on (block, key) — the
+    index side is the big one and shuffles once on its high-entropy
+    band keys; at typical batch/corpus ratios the probe side
+    broadcasts. Hot-bucket guard (the same skew obligation as the
+    self-join form): index buckets above ``bucket_cap`` rows are
+    salt-split into s = ceil(cnt/cap) chunks and the PROBE row
+    explodes over all s chunk ids, so every shuffle key holds at most
+    ~cap index rows against that key's probe rows; the pair set is
+    exactly unchanged (each index row lives in exactly one chunk, each
+    probe row visits every chunk once)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+
+    def _blocks(df, id_alias, sig_alias):
+        def _key(i):
+            if nblocks == 1:
+                return F.col(sig_col).alias("key")
+            return (F.shiftright(sig_col, i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        return df.select(
+            F.col(id_col).alias(id_alias), F.col(sig_col).alias(sig_alias),
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("blk"), _key(i))
+                for i in range(nblocks)])).alias("b")) \
+            .select(id_alias, sig_alias, "b.blk", "b.key")
+
+    pb = _blocks(probe, "probe_id", "_psig")
+    ib = _blocks(index, "index_id", "_isig")
+    hot = (ib.groupBy("blk", "key").agg(F.count("*").alias("_bn"))
+           .filter(F.col("_bn") > bucket_cap))
+    nsalt = F.coalesce(F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
+                       F.lit(1))
+    ib = (ib.join(F.broadcast(hot), ["blk", "key"], "left")
+          .withColumn("_s", F.pmod(F.xxhash64("index_id"), nsalt)
+                      .cast("int")).drop("_bn"))
+    pb = (pb.join(F.broadcast(hot), ["blk", "key"], "left")
+          .withColumn("_q", F.explode(F.sequence(F.lit(0), nsalt - 1)))
+          .drop("_bn"))
+    ham = F.bit_count(F.col("p._psig").bitwiseXOR(F.col("i._isig")))
+    # the salt is part of the EQUI-join key — as a post-join filter the
+    # shuffle key would collapse back to the hot (blk, key) bucket
+    return (pb.alias("p")
+            .join(ib.alias("i"), [F.col("p.blk") == F.col("i.blk"),
+                                  F.col("p.key") == F.col("i.key"),
+                                  F.col("p._q") == F.col("i._s")])
+            .select("p.probe_id", "i.index_id", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["probe_id", "index_id"]))
+
+
+def incremental_dedup(new_batch: DataFrame, index: DataFrame,
+                      sig_col: str = "phash", id_col: str = "image_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Incremental near-dup deduplication of a new ingest batch
+    against an already-deduped corpus index — the shape every rolling
+    crawl actually runs (re-pairing a 10^11-row corpus per batch is
+    not an option; probing the batch against it is). One row per new
+    image: (image_id, keep, reason, match_id) where reason/match_id
+    are NULL for kept rows, 'index_dup' + the best-matching indexed id
+    (min hamming, ties to min id) for rows already represented in the
+    corpus, and 'batch_dup' + the within-batch canonical for rows that
+    survive the index probe but lose their batch near-dup cluster.
+
+    Composition of proven parts: hamming_join (banded index probe) ->
+    anti-join -> hamming_band_pairs + dedup_keep_canonical over the
+    survivors. Scale: the index is touched ONLY by the banded
+    equi-join (once, on band keys); every corpus-sized join after that
+    is against the (small) batch, and the keep-list joins broadcast."""
+    hits = hamming_join(new_batch.select(F.col(id_col), F.col(sig_col)),
+                        index.select(F.col(id_col), F.col(sig_col)),
+                        sig_col, id_col, max_hamming)
+    w = Window.partitionBy("probe_id").orderBy("hamming", "index_id")
+    best = (hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("probe_id").alias(id_col),
+                    F.col("index_id").alias("match_id")))
+    ids = new_batch.select(F.col(id_col), F.col(sig_col))
+    index_dups = (ids.join(best, id_col)
+                  .select(F.col(id_col), F.lit(False).alias("keep"),
+                          F.lit("index_dup").alias("reason"),
+                          F.col("match_id")))
+    surv = ids.join(best.select(id_col), id_col, "left_anti")
+    pairs = hamming_band_pairs(surv, sig_col, id_col, max_hamming)
+    kl = dedup_keep_canonical(surv, pairs, id_col=id_col)
+    batch_part = kl.select(
+        F.col(id_col), F.col("keep"),
+        F.when(F.col("keep"), F.lit(None).cast("string"))
+        .otherwise(F.lit("batch_dup")).alias("reason"),
+        F.when(F.col("keep"), F.lit(None).cast(
+            dict(kl.dtypes)["canonical_id"]))
+        .otherwise(F.col("canonical_id")).alias("match_id"))
+    return index_dups.unionByName(batch_part)
+
+
 def simhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
                   max_hamming: int = 3, materialize: str = "local",
                   ckpt_runner=None, stage_prefix: str = "") -> DataFrame:

@@ -1045,3 +1045,84 @@ def test_curate_images_prunes_bytes_from_scan(spark, tmp_path):
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     assert schemas, plan[:2000]
     assert all("bytes" not in s for s in schemas), schemas
+
+
+def test_incremental_dedup_matches_bruteforce(spark):
+    """Batch-vs-index probe + within-batch clustering == a python
+    reference (brute-force index hits with (hamming, id) best-match
+    tie-break; union-find over the survivors)."""
+    from barefoot_spark.sources import images as IM
+    pdf = IM.synth_images_with_dups_pdf(640)
+    index_pdf = pdf.iloc[:384].reset_index(drop=True)
+    new_pdf = pdf.iloc[384:].reset_index(drop=True)
+    index = spark.createDataFrame(index_pdf, schema=IM.IMAGES_SCHEMA)
+    new = spark.createDataFrame(new_pdf, schema=IM.IMAGES_SCHEMA)
+    out = (D.incremental_dedup(new, index).toPandas()
+           .set_index("image_id").sort_index())
+    assert len(out) == len(new_pdf)
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    idx = list(index_pdf[["image_id", "phash"]].itertuples(index=False))
+    best, surv = {}, []
+    for r in new_pdf[["image_id", "phash"]].itertuples(index=False):
+        hits = sorted((ham(r.phash, i.phash), i.image_id)
+                      for i in idx if ham(r.phash, i.phash) <= 3)
+        if hits:
+            best[r.image_id] = hits[0][1]
+        else:
+            surv.append(r)
+    parent = {r.image_id: r.image_id for r in surv}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(surv)):
+        for j in range(i + 1, len(surv)):
+            if ham(surv[i].phash, surv[j].phash) <= 3:
+                a, b = find(surv[i].image_id), find(surv[j].image_id)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+
+    n_index = n_batch = n_keep = 0
+    for iid, mid in best.items():
+        assert not bool(out.loc[iid, "keep"])
+        assert out.loc[iid, "reason"] == "index_dup"
+        assert out.loc[iid, "match_id"] == mid
+        n_index += 1
+    for r in surv:
+        canon = find(r.image_id)
+        if canon == r.image_id:
+            assert bool(out.loc[r.image_id, "keep"])
+            assert pd.isna(out.loc[r.image_id, "reason"])
+            assert pd.isna(out.loc[r.image_id, "match_id"])
+            n_keep += 1
+        else:
+            assert not bool(out.loc[r.image_id, "keep"])
+            assert out.loc[r.image_id, "reason"] == "batch_dup"
+            assert out.loc[r.image_id, "match_id"] == canon
+            n_batch += 1
+    assert n_index > 0 and n_batch > 0 and n_keep > 0
+
+
+def test_hamming_join_hot_bucket_guard(spark):
+    """Degenerate all-identical-signature corpus: the salt-tiled
+    guarded join returns exactly the unguarded pair set."""
+    probe = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"p{i:03d}" for i in range(40)],
+                      "phash": [7] * 40}))
+    index = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"i{i:03d}" for i in range(60)],
+                      "phash": [7] * 55 + [6] * 5}))
+    guarded = D.hamming_join(probe, index, max_hamming=1, bucket_cap=8) \
+        .toPandas()
+    plain = D.hamming_join(probe, index, max_hamming=1,
+                           bucket_cap=1 << 30).toPandas()
+    key = ["probe_id", "index_id", "hamming"]
+    assert sorted(map(tuple, guarded[key].values.tolist())) == \
+        sorted(map(tuple, plain[key].values.tolist()))
+    assert len(plain) == 40 * 60   # every pair within hamming 1

@@ -77,6 +77,13 @@ AUDITS = [
     # (bucket + both salt columns), so no shuffle key ever owns more
     # than ~cap^2 of a degenerate bucket's pair space
     ("cosine_near_dup", ["Left keys [3]: [bucket", "explode(sequence("]),
+    # multimodal curation flagship: gates are row-local filters, exact
+    # dedup is a keyed window, near-dup candidates come from the band
+    # equi-join — nothing quadratic anywhere in the composition
+    ("curate_images", ["Window", "bit_count", "!CartesianProduct"]),
+    # trajectory frame thinning: one Arrow group-map per trajectory
+    # partition — never a single global partition
+    ("frame_thinning", ["FlatMapGroupsInPandas", "!SinglePartition"]),
     ("dbcan_events", ["Window", "!SinglePartition"]),
     ("dbcan_core_events", ["Window", "!SinglePartition"]),
     ("dbrcan_mod_events", ["Window", "!SinglePartition"]),
