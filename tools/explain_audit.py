@@ -78,12 +78,20 @@ AUDITS = [
     # than ~cap^2 of a degenerate bucket's pair space
     ("cosine_near_dup", ["Left keys [3]: [bucket", "explode(sequence("]),
     # multimodal curation flagship: gates are row-local filters, exact
-    # dedup is a keyed window, near-dup candidates come from the band
-    # equi-join — nothing quadratic anywhere in the composition
-    ("curate_images", ["Window", "bit_count", "!CartesianProduct"]),
+    # dedup is a keyed window, keep-list joins broadcast — nothing
+    # quadratic anywhere in the composition (the banded pair subtree
+    # incl. its bit_count verify is behind the star kernel's
+    # checkpoint; phash_dedup audits it directly)
+    ("curate_images", ["Window", "BroadcastHashJoin",
+                       "!CartesianProduct"]),
     # trajectory frame thinning: one Arrow group-map per trajectory
     # partition — never a single global partition
     ("frame_thinning", ["FlatMapGroupsInPandas", "!SinglePartition"]),
+    # batch-vs-index probe: candidates from the banded equi-join with
+    # the salt INSIDE the 3-part join key (blk, key, chunk) — a hot
+    # index bucket never collapses onto one shuffle key; hamming
+    # verify is codegen'd bit_count; best-match pick is a keyed window
+    ("incremental_dedup", ["bit_count", "Window", "!CartesianProduct"]),
     ("dbcan_events", ["Window", "!SinglePartition"]),
     ("dbcan_core_events", ["Window", "!SinglePartition"]),
     ("dbrcan_mod_events", ["Window", "!SinglePartition"]),
