@@ -1168,6 +1168,91 @@ def oracle_incremental_dedup(sf_dir):
     """
 
 
+def q_incremental_text_dedup(spark, sf_dir):
+    """Text twin of incremental_dedup: even doc_ids play the indexed
+    corpus, odd ids the new ingest batch; minhash_join (poly band key)
+    probes the batch against the index, survivors cluster within the
+    batch. (doc_id, keep, reason, match_id) per new document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = DP.incremental_text_dedup(new, index, jaccard_threshold=0.5,
+                                    band_key="poly")
+    return out.select("doc_id", "keep", "reason",
+                      F.col("match_id").cast("long").alias("match_id"))
+
+
+def oracle_incremental_text_dedup(sf_dir):
+    """Shared minhash HUGEINT CTE chain over ALL documents, pairs
+    split by id parity: straddling pairs become index hits (best match
+    by est DESC then id), odd-odd pairs among the survivors feed the
+    recursive-CTE closure — candidate generation is per-document, so
+    restricting the all-docs pair set to survivor pairs is identical
+    to re-running the pipeline over survivors."""
+    k, num_perm, bands_n = 5, 64, 16
+    rpb = num_perm // bands_n
+    m64 = "18446744073709551616::HUGEINT"
+    mp = "2305843009213693951::HUGEINT"
+    a, b = DP._minhash_params(num_perm, 42)
+    pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+                      for p in range(num_perm))
+    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
+        for j, m in enumerate(mult))
+    sel_sj = ", ".join(f"max(CASE WHEN p % {rpb} = {j} THEN s END) AS s{j}"
+                       for j in range(rpb))
+    horner = "s0"
+    for j in range(1, rpb):
+        horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
+    ctes = _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
+                         sel_sj, horner, table="documents")
+    return f"""
+        WITH RECURSIVE
+        {ctes},
+        thr AS (SELECT left_id, right_id, est_jaccard FROM est
+                WHERE est_jaccard >= 0.5),
+        hits AS (SELECT CASE WHEN left_id % 2 = 1 THEN left_id
+                             ELSE right_id END AS pid,
+                        CASE WHEN left_id % 2 = 1 THEN right_id
+                             ELSE left_id END AS iid,
+                        est_jaccard AS ej
+                 FROM thr WHERE (left_id % 2) <> (right_id % 2)),
+        best AS (SELECT pid, iid FROM (
+                     SELECT pid, iid, row_number() OVER (
+                         PARTITION BY pid ORDER BY ej DESC, iid) AS rn
+                     FROM hits) z WHERE rn = 1),
+        surv AS (SELECT doc_id FROM documents
+                 WHERE doc_id % 2 = 1
+                   AND doc_id NOT IN (SELECT pid FROM best)),
+        bp AS (SELECT left_id, right_id FROM thr
+               WHERE left_id % 2 = 1 AND right_id % 2 = 1
+                 AND left_id IN (SELECT doc_id FROM surv)
+                 AND right_id IN (SELECT doc_id FROM surv)),
+        und AS (SELECT left_id AS a, right_id AS b FROM bp
+                UNION SELECT right_id, left_id FROM bp),
+        vs AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM vs
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v)
+        SELECT pid AS doc_id, FALSE AS keep,
+               'index_dup' AS reason, CAST(iid AS BIGINT) AS match_id
+        FROM best
+        UNION ALL
+        SELECT s.doc_id,
+               (c.canonical IS NULL OR s.doc_id = c.canonical) AS keep,
+               CASE WHEN c.canonical IS NULL OR s.doc_id = c.canonical
+                    THEN NULL ELSE 'batch_dup' END AS reason,
+               CASE WHEN c.canonical IS NULL OR s.doc_id = c.canonical
+                    THEN NULL ELSE CAST(c.canonical AS BIGINT)
+                    END AS match_id
+        FROM surv s LEFT JOIN comp c ON c.v = s.doc_id
+    """
+
+
 def q_frame_thinning(spark, sf_dir):
     """Trajectory frame thinning (the reference's sample-thinning gate
     on image trajectories): drop frames arriving within min_interval
@@ -2569,6 +2654,7 @@ QUERIES = {
     "curate_images": q_curate_images,
     "frame_thinning": q_frame_thinning,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_text_dedup": q_incremental_text_dedup,
     "token_budget_sample": q_token_budget_sample,
     "pack_sequences": q_pack_sequences,
     "curate_corpus": q_curate_corpus,
@@ -2623,6 +2709,7 @@ ORACLES = {
     "curate_images": oracle_curate_images,
     "frame_thinning": oracle_frame_thinning,
     "incremental_dedup": oracle_incremental_dedup,
+    "incremental_text_dedup": oracle_incremental_text_dedup,
     "token_budget_sample": oracle_token_budget_sample,
     "pack_sequences": oracle_pack_sequences,
     "curate_corpus": oracle_curate_corpus,

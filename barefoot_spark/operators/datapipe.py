@@ -248,6 +248,122 @@ def minhash_dedup(documents: DataFrame, text_col="text", id_col="doc_id",
             .select("left_id", "right_id", "est_jaccard"))
 
 
+def minhash_join(new_docs: DataFrame, index_docs: DataFrame,
+                 text_col="text", id_col="doc_id",
+                 num_perm: int = 64, bands: int = 16,
+                 jaccard_threshold: float = 0.6, shingle_k: int = 5,
+                 materialize: str = "local", ckpt_runner=None,
+                 stage_prefix: str = "", band_key: str = "hash") -> DataFrame:
+    """Batch-vs-index MinHash near-dup join — the text twin of
+    hamming_join: all (new, index) document pairs whose signature
+    Jaccard estimate reaches the threshold, as
+    (new_id, index_id, est_jaccard). Signatures/bands/verify are the
+    exact minhash_dedup stages; only candidate generation differs —
+    the band equi-join runs ACROSS the two relations, so a rolling
+    ingest probes the indexed corpus without re-pairing it with
+    itself.
+
+    Scale shape: the index side shuffles once on its high-entropy
+    (band, bucket) keys (at real batch/corpus ratios the new side
+    broadcasts); the verify stage left-semi prunes BOTH corpora to
+    candidate members before recomputing signatures."""
+    from .. import ckpt as CK
+
+    def _mat(df, stage):
+        return CK.materialize(df, materialize, ckpt_runner,
+                              f"{stage_prefix}{stage}")
+
+    rows_per_band = num_perm // bands
+    udf = minhash_signature_udf(num_perm, shingle_k)
+    if band_key == "poly":
+        def _bucket(i):
+            return F.expr(poly_band_expr(i, rows_per_band)).alias("bucket")
+    else:
+        def _bucket(i):
+            return F.hash(F.slice("sig", i * rows_per_band + 1,
+                                  rows_per_band)).alias("bucket")
+
+    def _bands(docs, id_alias):
+        d = _spread_small(docs.select(F.col(id_col).alias(id_alias),
+                                      F.col(text_col).alias("_text")))
+        sig = d.select(id_alias, udf(F.col("_text")).alias("sig"))
+        return d, sig.select(
+            id_alias,
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("band"), _bucket(i))
+                for i in range(bands)])).alias("bb")) \
+            .select(id_alias, "bb.band", "bb.bucket")
+
+    nd, nbands = _bands(new_docs, "new_id")
+    xd, xbands = _bands(index_docs, "index_id")
+    nbands = _mat(nbands, "mhj_new_bands")
+    xbands = _mat(xbands, "mhj_index_bands")
+    pairs = (nbands.join(xbands, ["band", "bucket"])
+             .select("new_id", "index_id")
+             .dropDuplicates(["new_id", "index_id"]))
+    pairs = _mat(pairs, "mhj_pairs")
+    nsig = (nd.join(pairs.select("new_id").distinct(), "new_id",
+                    "left_semi")
+            .select("new_id", udf(F.col("_text")).alias("nsig")))
+    xsig = (xd.join(pairs.select("index_id").distinct(),
+                    "index_id", "left_semi")
+            .select("index_id", udf(F.col("_text")).alias("xsig")))
+    joined = (pairs.join(_mat(nsig, "mhj_nsig"), "new_id")
+              .join(_mat(xsig, "mhj_xsig"), "index_id"))
+    est = F.aggregate(
+        F.zip_with("nsig", "xsig", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))
+    return (joined.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("new_id", "index_id", "est_jaccard"))
+
+
+def incremental_text_dedup(new_docs: DataFrame, index_docs: DataFrame,
+                           text_col="text", id_col="doc_id",
+                           num_perm: int = 64, bands: int = 16,
+                           jaccard_threshold: float = 0.6,
+                           shingle_k: int = 5,
+                           band_key: str = "hash") -> DataFrame:
+    """Incremental near-dup dedup of a new document batch against an
+    already-deduped corpus — the text twin of incremental_dedup. One
+    row per new document: (doc_id, keep, reason, match_id) with
+    reason/match_id NULL for kept rows, 'index_dup' + the best-matching
+    indexed id (max est_jaccard, ties to min id) for documents the
+    corpus already represents, 'batch_dup' + the within-batch
+    canonical otherwise.
+
+    Composition of proven parts: minhash_join (cross-relation band
+    probe) -> anti-join -> minhash_dedup + dedup_keep_canonical over
+    the survivors. The index is touched only by the banded equi-join;
+    everything downstream is batch-sized."""
+    hits = minhash_join(new_docs, index_docs, text_col, id_col, num_perm,
+                        bands, jaccard_threshold, shingle_k,
+                        band_key=band_key)
+    w = Window.partitionBy("new_id").orderBy(F.desc("est_jaccard"),
+                                             "index_id")
+    best = (hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("new_id").alias(id_col),
+                    F.col("index_id").alias("match_id")))
+    docs = new_docs.select(F.col(id_col), F.col(text_col))
+    mt = dict(best.dtypes)["match_id"]
+    index_dups = (docs.join(best, id_col)
+                  .select(F.col(id_col), F.lit(False).alias("keep"),
+                          F.lit("index_dup").alias("reason"),
+                          F.col("match_id")))
+    surv = docs.join(best.select(id_col), id_col, "left_anti")
+    pairs = minhash_dedup(surv, text_col, id_col, num_perm, bands,
+                          jaccard_threshold, shingle_k, band_key=band_key)
+    kl = dedup_keep_canonical(surv, pairs, id_col=id_col)
+    batch_part = kl.select(
+        F.col(id_col), F.col("keep"),
+        F.when(F.col("keep"), F.lit(None).cast("string"))
+        .otherwise(F.lit("batch_dup")).alias("reason"),
+        F.when(F.col("keep"), F.lit(None).cast(mt))
+        .otherwise(F.col("canonical_id").cast(mt)).alias("match_id"))
+    return index_dups.unionByName(batch_part)
+
+
 def dedup_keep_canonical(documents: DataFrame, pairs: DataFrame,
                          id_col="doc_id",
                          left_col="left_id", right_col="right_id") -> DataFrame:

@@ -1126,3 +1126,59 @@ def test_hamming_join_hot_bucket_guard(spark):
     assert sorted(map(tuple, guarded[key].values.tolist())) == \
         sorted(map(tuple, plain[key].values.tolist()))
     assert len(plain) == 40 * 60   # every pair within hamming 1
+
+
+def test_minhash_join_equals_union_cross_pairs(spark):
+    """Cross-relation band join == the self-join pipeline over the
+    union, restricted to straddling pairs (bit-identical est values)."""
+    index_rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                  (2, "completely different content about spark engines"),
+                  (3, "pack my box with five dozen liquor jugs")]
+    new_rows = [(10, "the quick brown fox jumps over the lazy dog"),
+                (11, "the quick brown fox jumped over the lazy dog"),
+                (12, "some brand new document about map matching"),
+                (13, "some brand new document about map matching!"),
+                (14, "entirely unrelated text talking of rivers")]
+    cols = ["doc_id", "text"]
+    index = spark.createDataFrame(pd.DataFrame(index_rows, columns=cols))
+    new = spark.createDataFrame(pd.DataFrame(new_rows, columns=cols))
+    union = spark.createDataFrame(pd.DataFrame(index_rows + new_rows,
+                                               columns=cols))
+    got = D.minhash_join(new, index, jaccard_threshold=0.3).toPandas()
+    want = D.minhash_dedup(union, jaccard_threshold=0.3).toPandas()
+    want_cross = {(r.right_id, r.left_id): r.est_jaccard
+                  for r in want.itertuples(index=False)
+                  if r.left_id <= 3 and r.right_id >= 10}
+    got_pairs = {(r.new_id, r.index_id): r.est_jaccard
+                 for r in got.itertuples(index=False)}
+    assert got_pairs == want_cross and len(got_pairs) > 0
+
+
+def test_incremental_text_dedup_reasons(spark):
+    """Exact and near dups of indexed docs die as index_dup with the
+    best match; batch-internal near-dups cluster; the rest keep."""
+    cols = ["doc_id", "text"]
+    index = spark.createDataFrame(pd.DataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content about spark engines"),
+         (3, "pack my box with five dozen liquor jugs")], columns=cols))
+    new = spark.createDataFrame(pd.DataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "the quick brown fox jumped over the lazy dog"),
+         (12, "some brand new document about map matching"),
+         (13, "some brand new document about map matching!"),
+         (14, "entirely unrelated text talking of rivers")], columns=cols))
+    out = (D.incremental_text_dedup(new, index, jaccard_threshold=0.5)
+           .toPandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [10, 11, 12, 13, 14]
+    assert not bool(out.loc[10, "keep"])
+    assert out.loc[10, "reason"] == "index_dup"
+    assert out.loc[10, "match_id"] == 1
+    assert not bool(out.loc[11, "keep"])
+    assert out.loc[11, "reason"] == "index_dup"
+    assert out.loc[11, "match_id"] == 1
+    assert bool(out.loc[12, "keep"]) and pd.isna(out.loc[12, "reason"])
+    assert not bool(out.loc[13, "keep"])
+    assert out.loc[13, "reason"] == "batch_dup"
+    assert out.loc[13, "match_id"] == 12
+    assert bool(out.loc[14, "keep"]) and pd.isna(out.loc[14, "reason"])
