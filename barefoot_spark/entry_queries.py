@@ -856,8 +856,12 @@ def _docs_with_split_sql():
     exact arithmetic of DP.split_assign_oracle_sql)."""
     h = "((doc_id * 2654435761 + 42) % 4294967296)"
     u = f"({h} / 4294967296.0)"
-    return (f"(SELECT doc_id, text, CASE WHEN {u} < 0.9 THEN 'train' "
-            f"WHEN {u} < 0.95 THEN 'val' ELSE 'test' END AS split "
+    # the val boundary renders from the SAME python double arithmetic
+    # as DP.split_assign (0.9 + 0.05 != double('0.95') in the last
+    # ulp; no u = k/2^32 currently falls in the gap, but the literals
+    # must not rely on that)
+    return (f"(SELECT doc_id, text, CASE WHEN {u} < {0.9!r} THEN 'train' "
+            f"WHEN {u} < {0.9 + 0.05!r} THEN 'val' ELSE 'test' END AS split "
             f"FROM documents) AS dsp")
 
 
@@ -1452,9 +1456,10 @@ def q_lsh_ann_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (multiprobe hamming <= 2, exact
     cosine re-rank in the probed set) — the scale path whose exact twin
     is ann_topk. Oracle-checked: bucket_impl="expr" computes the
-    hyperplane bits as Catalyst sequential-fold dots (bit-identical to
-    DuckDB list_dot_product), so the probe expansion, bucket join and
-    re-rank all mirror into SQL."""
+    hyperplane bits as Catalyst sequential-fold dots, mirrored in SQL
+    by the explicit left-assoc element sums of _bucket_sql (the exact
+    same IEEE op order — bit-identical sign tests), so the probe
+    expansion, bucket join and re-rank all mirror into SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("q_id"),
@@ -1465,23 +1470,30 @@ def q_lsh_ann_topk(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
-def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> list:
-    """DuckDB DOUBLE[] literals for the seeded hyperplanes — repr()
-    round-trips every binary64 exactly, matching F.lit on the Spark
-    side."""
+def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42):
+    """The seeded hyperplane matrix shared by the bucket twins (repr()
+    of each float round-trips every binary64 exactly, matching F.lit
+    on the Spark side)."""
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
-    return ["[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-            for p in planes]
+    return rng.normal(size=(n_planes, dim))
 
 
-def _bucket_sql(planes_sql: list, vec: str) -> str:
+def _bucket_sql(planes, vec: str) -> str:
     """Bucket code = sum of 2^i over planes with dot(v, plane_i) > 0 —
-    the SQL twin of datapipe.hyperplane_bucket_col."""
+    the SQL twin of datapipe.hyperplane_bucket_col. The dot is an
+    EXPLICIT left-associated element sum (v[1]*c1 + v[2]*c2 + ...),
+    NOT list_dot_product: Spark's sequential aggregate fold and the
+    chained `+` share the exact IEEE op order (0.0 + x1 == x1), so
+    the sign test is bit-identical in both engines even when a dot
+    lands within an ulp of zero — list_dot_product's fused
+    accumulation can differ in the last ulp (see _dot_lit_expr) and
+    would make the bucket bit engine-dependent exactly there."""
+    def dot(p):
+        return " + ".join(f"{vec}[{j + 1}] * {float(x)!r}"
+                          for j, x in enumerate(p))
     return " + ".join(
-        f"(CASE WHEN list_dot_product({vec}, {p}) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes_sql))
+        f"(CASE WHEN ({dot(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
 
 
 _COS_SQL = ("list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) "

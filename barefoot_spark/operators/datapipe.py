@@ -904,10 +904,14 @@ def hyperplane_bucket_col(planes: np.ndarray, vec_col: str):
     > 0) with the dot as a sequential zip_with/aggregate fold over
     literal plane arrays. Whole-stage codegen (no Python worker in the
     bucket stage), and — unlike the numpy-matmul UDF, whose SIMD
-    summation order is unspecified — the fold is IEEE-identical to
-    DuckDB's list_dot_product (proven bit-equal by the hash-green
-    cosine_pairs_exact oracle), which is what lets the LSH pipelines
-    run under DuckDB value oracles."""
+    summation order is unspecified — the fold has a DEFINED IEEE op
+    order (left-assoc from 0.0), so a DuckDB twin written as the same
+    explicit left-assoc element sum (entry_queries._bucket_sql) is
+    bit-identical, sign tests included. (list_dot_product is NOT that
+    twin — its fused accumulation can differ in the last ulp, see
+    _dot_lit_expr — which is why the bucket oracles spell the sum
+    out.) This is what lets the LSH pipelines run under DuckDB value
+    oracles."""
     bits = []
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -1609,7 +1613,7 @@ def repetition_stats_oracle_sql(table="documents", text_col="text",
             WHERE rn = 1
         )
         SELECT b.{i},
-               coalesce(t.n_words, 0) AS n_words,
+               CAST(coalesce(t.n_words, 0) AS BIGINT) AS n_words,
                coalesce(t.top_word, '') AS top_word,
                coalesce(t.top_word_frac, 0.0) AS top_word_frac,
                b.dup_bigram_frac
@@ -1735,7 +1739,9 @@ def token_budget_sample_oracle_sql(budget_tokens: int,
                        AS cum_tokens
             FROM s
         )
-        SELECT * FROM c WHERE cum_tokens <= {budget_tokens}
+        SELECT {gsel}{id_col}, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens <= {budget_tokens}
     """
 
 
