@@ -921,25 +921,7 @@ def oracle_curate_corpus(sf_dir):
     the shared minhash CTE chain over the survivors -> recursive-CTE
     closure keep-list (independent cluster resolution vs the star
     kernel)."""
-    k, num_perm, bands_n = 5, 64, 16
-    rpb = num_perm // bands_n
-    m64 = "18446744073709551616::HUGEINT"
-    mp = "2305843009213693951::HUGEINT"
-    a, b = DP._minhash_params(num_perm, 42)
-    pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
-                      for p in range(num_perm))
-    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
-    terms = " + ".join(
-        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
-        for j, m in enumerate(mult))
-    sel_sj = ", ".join(f"max(CASE WHEN p % {rpb} = {j} THEN s END) AS s{j}"
-                       for j in range(rpb))
-    horner = "s0"
-    for j in range(1, rpb):
-        horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
     stats = DP.text_stats_oracle_sql()
-    ctes = _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
-                         sel_sj, horner, table="surv")
     return f"""
         WITH RECURSIVE
         good AS (SELECT d.doc_id, d.text, s.quality_score
@@ -950,19 +932,9 @@ def oracle_curate_corpus(sf_dir):
                      SELECT g.*, row_number() OVER (
                          PARTITION BY md5(text) ORDER BY doc_id) AS rn
                      FROM good g) z WHERE rn = 1),
-        {ctes},
+        {_minhash_ctes(table="surv")},
         dup AS (SELECT left_id, right_id FROM est WHERE est_jaccard >= 0.5),
-        und AS (SELECT left_id AS a, right_id AS b FROM dup
-                UNION SELECT right_id, left_id FROM dup),
-        vs AS (SELECT DISTINCT a AS v FROM und),
-        reach(v, lbl) AS (
-            SELECT v, v FROM vs
-            UNION
-            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
-        ),
-        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
-        sizes AS (SELECT canonical, count(*) AS sz FROM comp
-                  GROUP BY canonical)
+        {_closure_ctes("dup", with_sizes=True)}
         SELECT s.doc_id,
                CAST(coalesce(c.canonical, s.doc_id) AS BIGINT)
                    AS canonical_id,
@@ -1005,17 +977,7 @@ def oracle_image_dedup_keep(sf_dir):
             FROM img l JOIN img r ON l.image_id < r.image_id
             WHERE bit_count(xor(l.phash, r.phash)) <= 3
         ),
-        und AS (SELECT left_id AS a, right_id AS b FROM dup
-                UNION SELECT right_id, left_id FROM dup),
-        vs AS (SELECT DISTINCT a AS v FROM und),
-        reach(v, lbl) AS (
-            SELECT v, v FROM vs
-            UNION
-            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
-        ),
-        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
-        sizes AS (SELECT canonical, count(*) AS sz FROM comp
-                  GROUP BY canonical)
+        {_closure_ctes("dup", with_sizes=True)}
         SELECT i.image_id,
                coalesce(c.canonical, i.image_id) AS canonical_id,
                (i.image_id = coalesce(c.canonical, i.image_id)) AS keep,
@@ -1081,17 +1043,7 @@ def oracle_curate_images(sf_dir):
         dup AS (SELECT l.image_id AS a0, r.image_id AS b0
                 FROM surv l JOIN surv r ON l.image_id < r.image_id
                 WHERE bit_count(xor(l.phash, r.phash)) <= 3),
-        und AS (SELECT a0 AS a, b0 AS b FROM dup
-                UNION SELECT b0, a0 FROM dup),
-        vs AS (SELECT DISTINCT a AS v FROM und),
-        reach(v, lbl) AS (
-            SELECT v, v FROM vs
-            UNION
-            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
-        ),
-        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
-        sizes AS (SELECT canonical, count(*) AS sz FROM comp
-                  GROUP BY canonical)
+        {_closure_ctes("dup", left="a0", right="b0", with_sizes=True)}
         SELECT s.image_id,
                coalesce(c.canonical, s.image_id) AS canonical_id,
                (s.image_id = coalesce(c.canonical, s.image_id)) AS keep,
@@ -1149,15 +1101,7 @@ def oracle_incremental_dedup(sf_dir):
         dup AS (SELECT l.image_id AS a0, r.image_id AS b0
                 FROM surv l JOIN surv r ON l.image_id < r.image_id
                 WHERE bit_count(xor(l.phash, r.phash)) <= 3),
-        und AS (SELECT a0 AS a, b0 AS b FROM dup
-                UNION SELECT b0, a0 FROM dup),
-        vs AS (SELECT DISTINCT a AS v FROM und),
-        reach(v, lbl) AS (
-            SELECT v, v FROM vs
-            UNION
-            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
-        ),
-        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v)
+        {_closure_ctes("dup", left="a0", right="b0")}
         SELECT pid AS image_id, FALSE AS keep,
                'index_dup' AS reason, iid AS match_id
         FROM best
@@ -1193,27 +1137,9 @@ def oracle_incremental_text_dedup(sf_dir):
     recursive-CTE closure — candidate generation is per-document, so
     restricting the all-docs pair set to survivor pairs is identical
     to re-running the pipeline over survivors."""
-    k, num_perm, bands_n = 5, 64, 16
-    rpb = num_perm // bands_n
-    m64 = "18446744073709551616::HUGEINT"
-    mp = "2305843009213693951::HUGEINT"
-    a, b = DP._minhash_params(num_perm, 42)
-    pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
-                      for p in range(num_perm))
-    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
-    terms = " + ".join(
-        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
-        for j, m in enumerate(mult))
-    sel_sj = ", ".join(f"max(CASE WHEN p % {rpb} = {j} THEN s END) AS s{j}"
-                       for j in range(rpb))
-    horner = "s0"
-    for j in range(1, rpb):
-        horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
-    ctes = _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
-                         sel_sj, horner, table="documents")
     return f"""
         WITH RECURSIVE
-        {ctes},
+        {_minhash_ctes()},
         thr AS (SELECT left_id, right_id, est_jaccard FROM est
                 WHERE est_jaccard >= 0.5),
         hits AS (SELECT CASE WHEN left_id % 2 = 1 THEN left_id
@@ -1233,15 +1159,7 @@ def oracle_incremental_text_dedup(sf_dir):
                WHERE left_id % 2 = 1 AND right_id % 2 = 1
                  AND left_id IN (SELECT doc_id FROM surv)
                  AND right_id IN (SELECT doc_id FROM surv)),
-        und AS (SELECT left_id AS a, right_id AS b FROM bp
-                UNION SELECT right_id, left_id FROM bp),
-        vs AS (SELECT DISTINCT a AS v FROM und),
-        reach(v, lbl) AS (
-            SELECT v, v FROM vs
-            UNION
-            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
-        ),
-        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v)
+        {_closure_ctes("bp")}
         SELECT pid AS doc_id, FALSE AS keep,
                'index_dup' AS reason, CAST(iid AS BIGINT) AS match_id
         FROM best
@@ -1871,7 +1789,11 @@ def oracle_pq_ann_topk(sf_dir):
     return _pq_oracle_sql(_pq_codebooks(), q_max=5, k=10)
 
 
-def _pq_oracle_sql(books, q_max: int, k: int) -> str:
+def _pq_fragments(books):
+    """The PQ encode/ADC SQL fragment builders (sc_cols, code_list,
+    lut_cols, adc) shared by _pq_oracle_sql and _ivfpq_oracle_sql —
+    both gates mirror the same Spark expr path, so the fragments must
+    stay bit-identical between them."""
     m, ks, dsub = books.shape
     score_arrs = []
     for sub in range(m):
@@ -1891,6 +1813,11 @@ def _pq_oracle_sql(books, q_max: int, k: int) -> str:
         for sub in range(m))
     adc = " + ".join(f"l.lut_{sub}[c.codes[{sub + 1}] + 1]"
                      for sub in range(m))
+    return sc_cols, code_list, lut_cols, adc
+
+
+def _pq_oracle_sql(books, q_max: int, k: int) -> str:
+    sc_cols, code_list, lut_cols, adc = _pq_fragments(books)
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         sc AS (SELECT vec_id, {sc_cols} FROM e),
@@ -1961,28 +1888,10 @@ def oracle_ivfpq_ann_topk(sf_dir):
 
 def _ivfpq_oracle_sql(books, centroids, q_max: int, k: int,
                       nprobe: int, rerank: int) -> str:
-    m, ks, dsub = books.shape
     C = np.asarray(centroids, dtype=np.float64)
     cs_arr = "[" + ", ".join(_pq_dot_sql("v", 0, C[i])
                              for i in range(len(C))) + "]"
-    score_arrs = []
-    for sub in range(m):
-        exprs = []
-        for c in range(ks):
-            cent = books[sub, c]
-            half = repr(float(0.5 * np.dot(cent, cent)))
-            exprs.append(f"({_pq_dot_sql('v', sub * dsub, cent)}) - {half}")
-        score_arrs.append("[" + ", ".join(exprs) + "]")
-    sc_cols = ", ".join(f"{arr} AS s{sub}"
-                        for sub, arr in enumerate(score_arrs))
-    code_list = ", ".join(
-        f"list_position(s{sub}, list_max(s{sub})) - 1" for sub in range(m))
-    lut_cols = ", ".join(
-        "[" + ", ".join(f"({_pq_dot_sql('qv', sub * dsub, books[sub, c])})"
-                        for c in range(ks)) + f"] AS lut_{sub}"
-        for sub in range(m))
-    adc = " + ".join(f"l.lut_{sub}[c.codes[{sub + 1}] + 1]"
-                     for sub in range(m))
+    sc_cols, code_list, lut_cols, adc = _pq_fragments(books)
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         asn AS (SELECT vec_id, v, {cs_arr} AS cs FROM e),
@@ -2256,11 +2165,24 @@ def oracle_minhash_dedup(sf_dir):
     1/64 are exact in double and have exactly 6 decimals, so round(,6)
     is wash on both engines). Short docs space-padded to k; ASCII
     corpus assumption as documented on oracle_doc_fingerprint."""
-    k, num_perm, bands_n = 5, 64, 16
-    rpb = num_perm // bands_n
+    return f"""
+        WITH {_minhash_ctes()}
+        SELECT left_id, right_id, round(est_jaccard, 6) AS est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+def _minhash_ctes(table="documents", k=5, num_perm=64, bands=16,
+                  seed=42) -> str:
+    """The minhash pipeline's CTE chain (params ... est), shared
+    verbatim — preamble included — by oracle_minhash_dedup,
+    oracle_dedup_keep_canonical, oracle_curate_corpus and
+    oracle_incremental_text_dedup so the gates can never drift apart.
+    `table` is any relation (or CTE name) exposing (doc_id, text)."""
+    rpb = num_perm // bands
     m64 = "18446744073709551616::HUGEINT"
     mp = "2305843009213693951::HUGEINT"   # 2^61 - 1
-    a, b = DP._minhash_params(num_perm, 42)
+    a, b = DP._minhash_params(num_perm, seed)
     pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
                       for p in range(num_perm))
     mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
@@ -2272,20 +2194,6 @@ def oracle_minhash_dedup(sf_dir):
     horner = "s0"
     for j in range(1, rpb):
         horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
-    return f"""
-        WITH {_minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
-                            sel_sj, horner)}
-        SELECT left_id, right_id, round(est_jaccard, 6) AS est_jaccard
-        FROM est WHERE est_jaccard >= 0.5
-    """
-
-
-def _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms, sel_sj,
-                  horner, table="documents") -> str:
-    """The minhash pipeline's CTE chain (params ... est), shared
-    verbatim by oracle_minhash_dedup, oracle_dedup_keep_canonical and
-    oracle_curate_corpus so the gates can never drift apart. `table`
-    is any relation (or CTE name) exposing (doc_id, text)."""
     return f"""params(p, a, b) AS (VALUES {pvals}),
         padded AS (
             SELECT doc_id,
@@ -2325,6 +2233,29 @@ def _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms, sel_sj,
         )"""
 
 
+def _closure_ctes(pairs_cte: str, left: str = "left_id",
+                  right: str = "right_id",
+                  with_sizes: bool = False) -> str:
+    """Recursive reachability closure with min label (und/vs/reach/
+    comp[, sizes]) over an undirected pair CTE — the independent
+    cluster-resolution twin of the large-star/small-star kernel,
+    shared by every keep-list oracle so the closure semantics can
+    never drift between gates. Embed inside WITH RECURSIVE."""
+    sizes = """,
+        sizes AS (SELECT canonical, count(*) AS sz FROM comp
+                  GROUP BY canonical)""" if with_sizes else ""
+    return f"""und AS (SELECT {left} AS a, {right} AS b FROM {pairs_cte}
+                UNION SELECT {right}, {left} FROM {pairs_cte}),
+        vs AS (SELECT DISTINCT a AS v FROM und),
+        reach(v, lbl) AS (
+            SELECT v, v FROM vs
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
+        ),
+        comp AS (SELECT v, min(lbl) AS canonical FROM reach
+                 GROUP BY v){sizes}"""
+
+
 def q_dedup_keep_canonical(spark, sf_dir):
     """The end-to-end dedup deliverable: minhash near-dup pairs (the
     oracle-checked poly-band pipeline) -> connected duplicate clusters
@@ -2343,39 +2274,11 @@ def oracle_dedup_keep_canonical(sf_dir):
     + the recursive-CTE reachability closure with min label (the
     connected_components twin) + singleton coalesce — an independent
     algorithm for the cluster resolution (closure vs star rounds)."""
-    k, num_perm, bands_n = 5, 64, 16
-    rpb = num_perm // bands_n
-    m64 = "18446744073709551616::HUGEINT"
-    mp = "2305843009213693951::HUGEINT"
-    a, b = DP._minhash_params(num_perm, 42)
-    pvals = ", ".join(f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
-                      for p in range(num_perm))
-    mult = [pow(1000003, j, 2 ** 64) for j in range(k)]
-    terms = " + ".join(
-        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {m}::HUGEINT"
-        for j, m in enumerate(mult))
-    sel_sj = ", ".join(f"max(CASE WHEN p % {rpb} = {j} THEN s END) AS s{j}"
-                       for j in range(rpb))
-    horner = "s0"
-    for j in range(1, rpb):
-        horner = f"((({horner}) * 1000003 + s{j}) % {m64})"
-    ctes = _minhash_ctes(k, num_perm, rpb, m64, mp, pvals, terms,
-                         sel_sj, horner)
     return f"""
-        WITH RECURSIVE {ctes},
+        WITH RECURSIVE {_minhash_ctes()},
         dup AS (SELECT left_id, right_id FROM est
                 WHERE est_jaccard >= 0.5),
-        und AS (SELECT left_id AS a, right_id AS b FROM dup
-                UNION SELECT right_id, left_id FROM dup),
-        vs AS (SELECT DISTINCT a AS v FROM und),
-        reach(v, lbl) AS (
-            SELECT v, v FROM vs
-            UNION
-            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.v
-        ),
-        comp AS (SELECT v, min(lbl) AS canonical FROM reach GROUP BY v),
-        sizes AS (SELECT canonical, count(*) AS sz FROM comp
-                  GROUP BY canonical)
+        {_closure_ctes("dup", with_sizes=True)}
         SELECT d.doc_id,
                CAST(coalesce(c.canonical, d.doc_id) AS BIGINT)
                    AS canonical_id,
