@@ -18,7 +18,12 @@ applied to the image table's content keys.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType, LongType, StringType, StructField, StructType,
+)
 
 
 def ingest_images_stream(images: DataFrame, time_col: str = "ts",
@@ -42,3 +47,72 @@ def ingest_images_stream(images: DataFrame, time_col: str = "ts",
     if out.isStreaming:
         return out.dropDuplicatesWithinWatermark(list(dedup_keys))
     return out.dropDuplicates(list(dedup_keys))
+
+
+THIN_FRAMES_SCHEMA = StructType([
+    StructField("traj_id", LongType()),
+    StructField("image_id", StringType()),
+    StructField("t", LongType()),
+    StructField("kept", BooleanType()),
+])
+
+THIN_STATE_SCHEMA = StructType([
+    StructField("last_t", LongType()),
+    StructField("last_ph", LongType()),
+])
+
+
+def thin_frames_stream(frames: DataFrame, min_interval: int = 4,
+                       max_hamming: int = 6) -> DataFrame:
+    """Streaming frame thinning, stateful per trajectory — the
+    arrival-time twin of ``operators.datapipe.frame_thinning``. State
+    is the last KEPT frame's (t, phash); each micro-batch folds its
+    frames in time order through the same keep/reference recurrence,
+    so an in-order stream drained under ANY micro-batch split emits
+    exactly the batch operator's keep flags (pytest-pinned equality).
+    A frame arriving strictly before the last kept frame's time is
+    out-of-order and emitted kept=false without touching state (the
+    tracker's out-of-order reject, TrackerServer.java:152-258 —
+    batch mode instead sorts the whole trajectory first).
+
+    Scale shape: state is two longs per LIVE trajectory — bounded by
+    concurrent trajectories x 16 bytes, never corpus size — and the
+    input projection (traj_id, image_id, t, phash) keeps the binary
+    payload out of the state store entirely."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        traj = int(key[0])
+        if state.exists:
+            last_t, last_ph = (int(v) for v in state.get)
+            have = True
+        else:
+            have, last_t, last_ph = False, 0, 0
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["t", "image_id"])
+            for r in pdf.itertuples(index=False):
+                t, ph = int(r.t), int(r.phash)
+                if have and t < last_t:
+                    rows.append((traj, r.image_id, t, False))
+                    continue
+                if have:
+                    ham = ((ph ^ last_ph)
+                           & 0xFFFFFFFFFFFFFFFF).bit_count()
+                    k = not ((t - last_t) < min_interval
+                             and ham <= max_hamming)
+                else:
+                    k = True
+                rows.append((traj, r.image_id, t, bool(k)))
+                if k:
+                    have, last_t, last_ph = True, t, ph
+        if have:
+            state.update((last_t, last_ph))
+        out = pd.DataFrame(
+            rows, columns=[f.name for f in THIN_FRAMES_SCHEMA.fields])
+        return iter((out,))
+
+    return (frames.select("traj_id", "image_id", "t", "phash")
+            .groupBy("traj_id")
+            .applyInPandasWithState(fn, THIN_FRAMES_SCHEMA,
+                                    THIN_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -175,3 +175,41 @@ def test_ingest_dedup_stream(spark, tmp_path):
     b = IG.ingest_images_stream(spark.createDataFrame(pdf),
                                 min_caption_len=3)
     assert sorted(r.phash for r in b.collect()) == [111]
+
+
+def test_thin_frames_stream_matches_batch(spark, tmp_path):
+    """Streaming frame thinning drained across two micro-batches split
+    mid-trajectory == the batch operator on the full trajectories
+    (state carries the last kept frame across the split)."""
+    from barefoot_spark.operators import datapipe as D
+    from barefoot_spark.sources import images as IM
+    from barefoot_spark.streaming import ingest as IG
+
+    pdf = IM.synth_frame_stream_pdf(4, 24)
+    want = (D.frame_thinning(spark.createDataFrame(pdf))
+            .toPandas().set_index("image_id").sort_index())
+
+    in_dir = str(tmp_path / "frames_in")
+    ckpt = str(tmp_path / "frames_ckpt")
+    os.makedirs(in_dir)
+    schema = "traj_id long, image_id string, t long, phash long"
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = IG.thin_frames_stream(stream)
+    q = (out.writeStream.format("memory").queryName("thinned")
+         .option("checkpointLocation", ckpt).outputMode("append").start())
+
+    # split each trajectory's frames mid-stream, in time order
+    first = pdf.groupby("traj_id", group_keys=False).apply(
+        lambda g: g.sort_values("t").head(12))
+    second = pdf[~pdf.image_id.isin(first.image_id)]
+    for part in (first, second):
+        spark.createDataFrame(part).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    got = spark.sql("select * from thinned").toPandas() \
+        .set_index("image_id").sort_index()
+    q.stop()
+
+    assert len(got) == len(pdf)
+    assert (got.kept == want.kept).all()
+    assert 0 < got.kept.sum() < len(got)
