@@ -318,6 +318,97 @@ def minhash_join(new_docs: DataFrame, index_docs: DataFrame,
             .select("new_id", "index_id", "est_jaccard"))
 
 
+def minhash_write_index(documents: DataFrame, path: str,
+                        text_col="text", id_col="doc_id",
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_k: int = 5, band_key: str = "hash") -> None:
+    """One-time MinHash index build for the rolling-crawl probe path:
+    signatures and band buckets of the corpus are computed ONCE and
+    persisted as parquet (`<path>/bands` partitioned by band —
+    16 directories whose files a probe's shuffle reads directly — and
+    `<path>/sigs` for the verify stage), so per-batch probes never
+    re-run the signature UDF over the 10^11-row corpus.
+    minhash_join, by contrast, re-signs the index side on every call
+    — correct, but the wrong cost model for a daily ingest."""
+    rows_per_band = num_perm // bands
+    udf = minhash_signature_udf(num_perm, shingle_k)
+    if band_key == "poly":
+        def _bucket(i):
+            return F.expr(poly_band_expr(i, rows_per_band)).alias("bucket")
+    else:
+        def _bucket(i):
+            return F.hash(F.slice("sig", i * rows_per_band + 1,
+                                  rows_per_band)).alias("bucket")
+    docs_p = _spread_small(documents.select(F.col(id_col).alias("index_id"),
+                                            F.col(text_col).alias("_text")))
+    sig = docs_p.select("index_id", udf(F.col("_text")).alias("sig"))
+    sig = sig.localCheckpoint(eager=True)   # one UDF pass feeds both writes
+    (sig.select(
+        "index_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), _bucket(i))
+            for i in range(bands)])).alias("bb"))
+     .select("index_id", "bb.band", "bb.bucket")
+     .write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands"))
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+
+
+def minhash_probe_index(spark, path: str, new_docs: DataFrame,
+                        text_col="text", id_col="doc_id",
+                        num_perm: int = 64, bands: int = 16,
+                        jaccard_threshold: float = 0.6,
+                        shingle_k: int = 5,
+                        band_key: str = "hash") -> DataFrame:
+    """Probe a persisted MinHash index (minhash_write_index) with a
+    new batch: the batch side runs the signature UDF once; the corpus
+    side is READ, never recomputed — candidate generation joins the
+    batch's (band, bucket) keys against the persisted band table, and
+    the verify stage joins candidate index members' STORED signatures.
+    Returns (new_id, index_id, est_jaccard) — bit-identical to
+    minhash_join on the same corpus (pytest-pinned).
+
+    100-TB shape: per batch, corpus-sized work is one equi-join on the
+    persisted band table plus a semi-joined read of the candidate
+    members' signature rows; both are I/O-bound scans of committed
+    parquet, zero Python over the corpus."""
+    rows_per_band = num_perm // bands
+    udf = minhash_signature_udf(num_perm, shingle_k)
+    if band_key == "poly":
+        def _bucket(i):
+            return F.expr(poly_band_expr(i, rows_per_band)).alias("bucket")
+    else:
+        def _bucket(i):
+            return F.hash(F.slice("sig", i * rows_per_band + 1,
+                                  rows_per_band)).alias("bucket")
+    nd = _spread_small(new_docs.select(F.col(id_col).alias("new_id"),
+                                       F.col(text_col).alias("_text")))
+    nsig = nd.select("new_id", udf(F.col("_text")).alias("sig"))
+    nsig = nsig.localCheckpoint(eager=True)  # feeds bands + verify
+    nbands = (nsig.select(
+        "new_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), _bucket(i))
+            for i in range(bands)])).alias("bb"))
+        .select("new_id", "bb.band", "bb.bucket"))
+    xbands = spark.read.parquet(f"{path}/bands")
+    pairs = (nbands.join(xbands, ["band", "bucket"])
+             .select("new_id", "index_id")
+             .dropDuplicates(["new_id", "index_id"]))
+    xsig = (spark.read.parquet(f"{path}/sigs")
+            .join(pairs.select("index_id").distinct(), "index_id",
+                  "left_semi")
+            .withColumnRenamed("sig", "xsig"))
+    joined = (pairs
+              .join(nsig.withColumnRenamed("sig", "nsig"), "new_id")
+              .join(xsig, "index_id"))
+    est = F.aggregate(
+        F.zip_with("nsig", "xsig", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_perm))
+    return (joined.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("new_id", "index_id", "est_jaccard"))
+
+
 def incremental_text_dedup(new_docs: DataFrame, index_docs: DataFrame,
                            text_col="text", id_col="doc_id",
                            num_perm: int = 64, bands: int = 16,

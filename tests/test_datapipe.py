@@ -1182,3 +1182,41 @@ def test_incremental_text_dedup_reasons(spark):
     assert out.loc[13, "reason"] == "batch_dup"
     assert out.loc[13, "match_id"] == 12
     assert bool(out.loc[14, "keep"]) and pd.isna(out.loc[14, "reason"])
+
+
+def test_minhash_index_probe_matches_live_join(spark, tmp_path):
+    """Persisted-index probe == live minhash_join bit-for-bit on the
+    same corpus, and the probe plan touches no signature UDF on the
+    corpus side (the stored band/sig tables are read instead)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+    index_rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                  (2, "completely different content about spark engines"),
+                  (3, "pack my box with five dozen liquor jugs"),
+                  (4, "a corpus document that nothing else resembles")]
+    new_rows = [(10, "the quick brown fox jumps over the lazy dog"),
+                (11, "the quick brown fox jumped over the lazy dog"),
+                (12, "some brand new document about map matching")]
+    cols = ["doc_id", "text"]
+    index = spark.createDataFrame(pd.DataFrame(index_rows, columns=cols))
+    new = spark.createDataFrame(pd.DataFrame(new_rows, columns=cols))
+    path = str(tmp_path / "mh_index")
+    D.minhash_write_index(index, path)
+    got = D.minhash_probe_index(spark, path, new, jaccard_threshold=0.3)
+    want = D.minhash_join(new, index, jaccard_threshold=0.3).toPandas()
+    gp = {(r.new_id, r.index_id): r.est_jaccard
+          for r in got.toPandas().itertuples(index=False)}
+    wp = {(r.new_id, r.index_id): r.est_jaccard
+          for r in want.itertuples(index=False)}
+    assert gp == wp and len(gp) > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # exactly one Arrow-batch UDF eval (the batch side); the corpus
+    # side is parquet scans of the persisted bands/sigs
+    assert len(re.findall(r"ArrowEvalPython", plan)) <= 1
+    assert re.search(r"Location:.*mh_index/bands", plan)
+    assert re.search(r"Location:.*mh_index/sigs", plan)
