@@ -1055,6 +1055,91 @@ def oracle_curate_images(sf_dir):
     """
 
 
+def q_tile_image_rollup(spark, sf_dir):
+    """Geotag -> cell -> skew-safe per-cell rollup over the image-frame
+    table (the north rule's "dense urban cells" stage on the image
+    payload): 60% of the fixture's trajectories live in ONE res-8 cell,
+    so the hot-cell salting path is actually exercised, and phashes are
+    full 64-bit so the unsigned scene-bucket shift sees negative
+    int64s."""
+    from .sources import images as IM
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    frames = spark.createDataFrame(pdf)
+    return T.tile_image_rollup(frames, res=8, salt_n=16, scene_bits=12)
+
+
+def oracle_tile_image_rollup(sf_dir):
+    """Plain GROUP BY twin (salting is algebraic — re-merge is exact):
+    same cell integer math as the tile_assign oracle, scene bucket via
+    the HUGEINT unsigned-shift pattern (phash sign handled by +2^64)."""
+    from .sources import images as IM
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    vals = ", ".join(
+        f"({int(r.traj_id)}, '{r.image_id}', {int(r.t)}, "
+        f"CAST('{r.lat!r}' AS DOUBLE), CAST('{r.lon!r}' AS DOUBLE), "
+        f"{int(r.phash)})"
+        for r in pdf.itertuples(index=False))
+    cell = T.cell_expr_sql("lat", "lon", 8)
+    scene = ("CAST(((phash::HUGEINT + CASE WHEN phash < 0 THEN "
+             "18446744073709551616::HUGEINT ELSE 0::HUGEINT END) "
+             "// 4503599627370496) AS BIGINT)")   # u64(phash) >> 52
+    return f"""
+        WITH f(traj_id, image_id, t, lat, lon, phash) AS (VALUES {vals}),
+        c AS (SELECT *, {cell} AS cell FROM f)
+        SELECT cell, count(*) AS n_frames,
+               CAST(count(DISTINCT traj_id) AS BIGINT) AS n_trajs,
+               CAST(count(DISTINCT {scene}) AS BIGINT) AS n_scenes,
+               CAST(min(t) AS BIGINT) AS t_min,
+               CAST(max(t) AS BIGINT) AS t_max
+        FROM c GROUP BY cell
+    """
+
+
+def q_caption_spam(spark, sf_dir):
+    """Cross-modal consistency gate: boilerplate captions spanning
+    many distinct images, and images (by phash) carrying conflicting
+    captions. The fixture plants both failure modes."""
+    from .sources import images as IM
+    pdf = IM.synth_caption_reuse_pdf(512)
+    images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
+    return DP.caption_consistency(images).select(
+        "image_id", "caption_images", "caption_scenes", "phash_captions",
+        "is_spam_caption", "is_conflict")
+
+
+def oracle_caption_spam(sf_dir):
+    """Window-function twin over the same (id, caption, phash) scalar
+    triple as a VALUES table (bytes never enter) — an independent plan
+    shape (two analytic windows) vs Spark's groupBy-join."""
+    from .sources import images as IM
+    pdf = IM.synth_caption_reuse_pdf(512)
+
+    def esc(s):
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{r.image_id}', '{esc(r.caption)}', {int(r.phash)})"
+        for r in pdf[["image_id", "caption", "phash"]]
+        .itertuples(index=False))
+    return f"""
+        WITH img(image_id, caption, phash) AS (VALUES {vals}),
+        w AS (
+            SELECT image_id,
+                   count(*) OVER (PARTITION BY caption)
+                       AS caption_images,
+                   CAST(count(DISTINCT phash) OVER (PARTITION BY caption)
+                       AS BIGINT) AS caption_scenes,
+                   CAST(count(DISTINCT caption) OVER (PARTITION BY phash)
+                       AS BIGINT) AS phash_captions
+            FROM img)
+        SELECT image_id, caption_images, caption_scenes, phash_captions,
+               (caption_images >= 3 AND caption_scenes >= 3)
+                   AS is_spam_caption,
+               (phash_captions > 1) AS is_conflict
+        FROM w
+    """
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Rolling-crawl dedup shape: probe a new ingest batch against an
     already-indexed corpus (banded hamming equi-join — the index is
@@ -2567,6 +2652,8 @@ QUERIES = {
     "phash_dedup": q_phash_dedup,
     "image_dedup_keep": q_image_dedup_keep,
     "curate_images": q_curate_images,
+    "tile_image_rollup": q_tile_image_rollup,
+    "caption_spam": q_caption_spam,
     "frame_thinning": q_frame_thinning,
     "incremental_dedup": q_incremental_dedup,
     "incremental_text_dedup": q_incremental_text_dedup,
@@ -2622,6 +2709,8 @@ ORACLES = {
     "phash_dedup": oracle_phash_dedup,
     "image_dedup_keep": oracle_image_dedup_keep,
     "curate_images": oracle_curate_images,
+    "tile_image_rollup": oracle_tile_image_rollup,
+    "caption_spam": oracle_caption_spam,
     "frame_thinning": oracle_frame_thinning,
     "incremental_dedup": oracle_incremental_dedup,
     "incremental_text_dedup": oracle_incremental_text_dedup,

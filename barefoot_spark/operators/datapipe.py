@@ -839,6 +839,45 @@ def curate_images(images: DataFrame, id_col="image_id",
     return keep.join(exact.select(id_col, "quality_score"), id_col)
 
 
+def caption_consistency(images: DataFrame, id_col="image_id",
+                        caption_col="caption", phash_col="phash",
+                        spam_min_images: int = 3,
+                        spam_min_scenes: int = 3) -> DataFrame:
+    """Cross-modal consistency gate over the image+caption table:
+    flags (a) boilerplate-caption spam — one caption string attached
+    to >= `spam_min_images` rows spanning >= `spam_min_scenes`
+    DISTINCT images (by phash): crawl alt-text like "untitled image"
+    that poisons contrastive training — and (b) caption conflicts —
+    one image (by phash) carrying more than one distinct caption (a
+    mislabeled duplicate; downstream pickers should keep one).
+
+    Output per image: (image_id, caption_images, caption_scenes,
+    phash_captions, is_spam_caption, is_conflict).
+
+    100-TB shape: only (id, caption, phash) is scanned — the binary
+    column is pruned; each side is one groupBy whose single-distinct
+    aggregate Spark plans as a two-level partial aggregation (no
+    Expand — the two distincts live in SEPARATE aggs by design); the
+    join back to the corpus is keyed on caption/phash where the
+    aggregated side's cardinality is the distinct-caption /
+    distinct-image count, and a hot boilerplate caption on the probe
+    side splits under AQE skew-join."""
+    slim = images.select(F.col(id_col), F.col(caption_col),
+                         F.col(phash_col))
+    cap = (slim.groupBy(caption_col)
+           .agg(F.count("*").alias("caption_images"),
+                F.countDistinct(phash_col).alias("caption_scenes")))
+    ph = (slim.groupBy(phash_col)
+          .agg(F.countDistinct(caption_col).alias("phash_captions")))
+    return (slim.join(cap, caption_col).join(ph, phash_col)
+            .select(id_col, "caption_images", "caption_scenes",
+                    "phash_captions",
+                    ((F.col("caption_images") >= spam_min_images)
+                     & (F.col("caption_scenes") >= spam_min_scenes))
+                    .alias("is_spam_caption"),
+                    (F.col("phash_captions") > 1).alias("is_conflict")))
+
+
 def frame_thinning(frames: DataFrame, traj_col="traj_id", time_col="t",
                    id_col="image_id", phash_col="phash",
                    min_interval: int = 4, max_hamming: int = 6) -> DataFrame:

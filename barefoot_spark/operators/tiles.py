@@ -67,6 +67,48 @@ def cell_expr_sql(lat_col: str, lon_col: str, res: int) -> str:
             f"+ {iy} as bigint)")
 
 
+def tile_image_rollup(frames: DataFrame, res: int = 8, salt_n: int = 16,
+                      scene_bits: int = 12) -> DataFrame:
+    """Per-cell rollup of a geotagged image-frame table — the north
+    rule's "dense urban cells" stage run end-to-end on the image
+    payload: geotag -> cell id (pure-codegen integer math), then a
+    skew-safe aggregation in which a mega-city cell holding 10^9
+    frames never lands on one reducer.
+
+    Input: (traj_id, image_id, t, lat, lon, phash). Output per cell:
+    n_frames, n_trajs (distinct trajectories), n_scenes (distinct
+    coarse phash buckets — top ``scene_bits`` bits via unsigned
+    shift), t_min, t_max.
+
+    Skew design: counts/min/max go through ``skew.salted_agg`` (the
+    hot cell fans out over ``salt_n`` reducers, algebraic re-merge is
+    exact); the distinct counts deliberately AVOID
+    ``countDistinct(a), countDistinct(b)`` in one agg — Spark plans
+    multi-distinct via Expand (row blowup, hot key on one reducer) —
+    and instead use dedup-then-count: groupBy(cell, traj) spreads the
+    hot cell across its distinct members before the per-cell count.
+    The three branches re-join on cell, a post-aggregation key whose
+    cardinality is the tile count, not the frame count."""
+    from . import skew as SK
+    df = assign_tiles(frames, res=res)
+    base = SK.salted_agg(
+        df, ["cell"],
+        {"n_frames": ("count", "image_id"),
+         "t_min": ("min", "t"), "t_max": ("max", "t")},
+        salt_n=salt_n)
+    trajs = (df.select("cell", "traj_id").distinct()
+             .groupBy("cell").agg(F.count("*").alias("n_trajs")))
+    scenes = (df.select(
+                  "cell",
+                  F.shiftrightunsigned(F.col("phash"), 64 - scene_bits)
+                   .alias("scene"))
+              .distinct()
+              .groupBy("cell").agg(F.count("*").alias("n_scenes")))
+    return (base.join(trajs, "cell").join(scenes, "cell")
+            .select("cell", "n_frames", "n_trajs", "n_scenes",
+                    "t_min", "t_max"))
+
+
 def assign_tiles(df: DataFrame, lat="lat", lon="lon", res: int = 15,
                  out="cell", use_udf: bool = False,
                  parent_res: int | None = None) -> DataFrame:

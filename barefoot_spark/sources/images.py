@@ -206,6 +206,76 @@ def synth_frame_stream_pdf(n_traj: int = 16, frames: int = 48,
     return pd.DataFrame(rows, columns=["traj_id", "image_id", "t", "phash"])
 
 
+def synth_geo_frames_pdf(n_traj: int = 48, frames: int = 32,
+                         seed: int = _SEED) -> pd.DataFrame:
+    """Deterministic geotagged image-frame table
+    (traj_id, image_id, t, lat, lon, phash) with a planted hot cell:
+    60% of trajectories random-walk inside ONE res-8 tile (the dense
+    urban core of the north rule's "skew from dense urban cells"),
+    the rest spread over the whole globe. Walks are clipped to stay
+    strictly inside the downtown tile so the skew is exact, and
+    phashes are full 64-bit (sign bit reachable) so the rollup's
+    unsigned-shift scene bucketing is exercised on negative int64s."""
+    from .. import cells
+    edge = cells.res_edge_deg(8)
+    # downtown tile midpoint (cells are aligned to -180/-90 lattices);
+    # midpoint keeps the clipped walk a half-edge away from any border
+    dlon = -180.0 + (np.floor((13.40 + 180.0) / edge) + 0.5) * edge
+    dlat = -90.0 + (np.floor((52.52 + 90.0) / edge) + 0.5) * edge
+    rng = np.random.default_rng(seed ^ 0x6E0F7A3)
+    rows = []
+    for tr in range(n_traj):
+        if tr % 5 < 3:                  # 60% downtown -> one hot cell
+            blat, blon, spread = dlat, dlon, edge * 0.2
+        else:                           # wide-area trajectories
+            blat = -60.0 + 120.0 * rng.random()
+            blon = -170.0 + 340.0 * rng.random()
+            spread = 5.0
+        lat, lon = blat, blon
+        ph = np.uint64(rng.integers(0, 1 << 64, dtype=np.uint64))
+        t = 0
+        for fi in range(frames):
+            t += int(rng.integers(1, 6))
+            lat = float(np.clip(lat + rng.normal(0.0, spread * 0.1),
+                                blat - 0.45 * edge if tr % 5 < 3 else -89.0,
+                                blat + 0.45 * edge if tr % 5 < 3 else 89.0))
+            lon = float(np.clip(lon + rng.normal(0.0, spread * 0.1),
+                                blon - 0.45 * edge if tr % 5 < 3 else -179.9,
+                                blon + 0.45 * edge if tr % 5 < 3 else 179.9))
+            if rng.random() < 0.25:     # scene cut
+                ph = np.uint64(rng.integers(0, 1 << 64, dtype=np.uint64))
+            else:                       # near-identical frame
+                for _ in range(int(rng.integers(0, 3))):
+                    ph = ph ^ (np.uint64(1)
+                               << np.uint64(rng.integers(0, 64)))
+            rows.append((tr, f"gfr-{tr:04d}-{fi:04d}", t, lat, lon,
+                         int(ph.astype(np.int64))))
+    return pd.DataFrame(
+        rows, columns=["traj_id", "image_id", "t", "lat", "lon", "phash"])
+
+
+_BOILERPLATE_CAPTIONS = ["untitled image", "photo", "image_0001.jpg"]
+
+
+def synth_caption_reuse_pdf(n: int = 512, seed: int = _SEED) -> pd.DataFrame:
+    """Curation corpus for the cross-modal consistency gate: plants
+    (a) boilerplate captions shared across many DISTINCT images (crawl
+    alt-text spam; every 7th row gets one of three stock strings) and
+    (b) repeated images carrying DIFFERENT captions (every 11th row
+    copies the previous row's pixels/bytes/phash but keeps its own
+    caption — a mislabeled duplicate). Rows stay self-consistent with
+    the codec invariant: bytes always decode to the pixels that hash
+    to phash."""
+    pdf = synth_images_pdf(n, seed=seed)
+    for i in range(n):
+        if i % 7 == 3:
+            pdf.at[i, "caption"] = _BOILERPLATE_CAPTIONS[i % 3]
+        if i % 11 == 5 and i > 0:
+            for col in ("bytes", "w", "h", "fmt", "phash"):
+                pdf.at[i, col] = pdf.at[i - 1, col]
+    return pdf
+
+
 VERIFY_SCHEMA = StructType([
     StructField("image_id", StringType()),
     StructField("fmt", StringType()),

@@ -84,6 +84,18 @@ AUDITS = [
     # checkpoint; phash_dedup audits it directly)
     ("curate_images", ["Window", "BroadcastHashJoin",
                        "!CartesianProduct"]),
+    # per-cell image rollup: partial HashAggregates everywhere (the
+    # hot cell fans out over salt / distinct-member keys), NO Expand —
+    # the multi-countDistinct single-reducer trap is avoided by
+    # dedup-then-count in separate aggs — and the three branches
+    # re-join on the post-agg cell key as broadcasts
+    ("tile_image_rollup", ["HashAggregate", "BroadcastHashJoin",
+                           "!Expand", "!SinglePartition",
+                           "!CartesianProduct"]),
+    # cross-modal consistency gate: one single-distinct agg per side
+    # (two-level partial agg, no Expand), broadcast join-back
+    ("caption_spam", ["HashAggregate", "BroadcastHashJoin", "!Expand",
+                      "!SinglePartition", "!CartesianProduct"]),
     # trajectory frame thinning: one Arrow group-map per trajectory
     # partition — never a single global partition
     ("frame_thinning", ["FlatMapGroupsInPandas", "!SinglePartition"]),
