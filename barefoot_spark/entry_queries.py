@@ -1095,6 +1095,50 @@ def oracle_tile_image_rollup(sf_dir):
     """
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution rollup pyramid (res 8 -> 6 -> 4): the raw
+    frame table is scanned once; coarser zoom levels re-merge from the
+    finer level by pure cell-id arithmetic (cell_parent_expr), with
+    distinct counts cascading through shrinking (cell, member) pair
+    sets."""
+    from .sources import images as IM
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    frames = spark.createDataFrame(pdf)
+    return T.tile_rollup_pyramid(frames, fine_res=8, coarse_levels=(6, 4),
+                                 salt_n=16, scene_bits=12)
+
+
+def oracle_tile_pyramid(sf_dir):
+    """Independent derivation: each level grouped DIRECTLY by the
+    lat/lon cell assignment at that resolution (never via the parent
+    arithmetic), so the Spark side's cell_parent_expr cascade is
+    cross-checked against first-principles assignment per level."""
+    from .sources import images as IM
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    vals = ", ".join(
+        f"({int(r.traj_id)}, '{r.image_id}', {int(r.t)}, "
+        f"CAST('{r.lat!r}' AS DOUBLE), CAST('{r.lon!r}' AS DOUBLE), "
+        f"{int(r.phash)})"
+        for r in pdf.itertuples(index=False))
+    scene = ("CAST(((phash::HUGEINT + CASE WHEN phash < 0 THEN "
+             "18446744073709551616::HUGEINT ELSE 0::HUGEINT END) "
+             "// 4503599627370496) AS BIGINT)")   # u64(phash) >> 52
+    levels = []
+    for res in (8, 6, 4):
+        cell = T.cell_expr_sql("lat", "lon", res)
+        levels.append(f"""
+        SELECT CAST({res} AS INTEGER) AS res, {cell} AS cell,
+               count(*) AS n_frames,
+               CAST(count(DISTINCT traj_id) AS BIGINT) AS n_trajs,
+               CAST(count(DISTINCT {scene}) AS BIGINT) AS n_scenes,
+               CAST(min(t) AS BIGINT) AS t_min,
+               CAST(max(t) AS BIGINT) AS t_max
+        FROM f GROUP BY 2""")
+    union = " UNION ALL ".join(levels)
+    return (f"WITH f(traj_id, image_id, t, lat, lon, phash) AS "
+            f"(VALUES {vals}) {union}")
+
+
 def q_caption_spam(spark, sf_dir):
     """Cross-modal consistency gate: boilerplate captions spanning
     many distinct images, and images (by phash) carrying conflicting
@@ -2653,6 +2697,7 @@ QUERIES = {
     "image_dedup_keep": q_image_dedup_keep,
     "curate_images": q_curate_images,
     "tile_image_rollup": q_tile_image_rollup,
+    "tile_pyramid": q_tile_pyramid,
     "caption_spam": q_caption_spam,
     "frame_thinning": q_frame_thinning,
     "incremental_dedup": q_incremental_dedup,
@@ -2710,6 +2755,7 @@ ORACLES = {
     "image_dedup_keep": oracle_image_dedup_keep,
     "curate_images": oracle_curate_images,
     "tile_image_rollup": oracle_tile_image_rollup,
+    "tile_pyramid": oracle_tile_pyramid,
     "caption_spam": oracle_caption_spam,
     "frame_thinning": oracle_frame_thinning,
     "incremental_dedup": oracle_incremental_dedup,

@@ -67,6 +67,90 @@ def cell_expr_sql(lat_col: str, lon_col: str, res: int) -> str:
             f"+ {iy} as bigint)")
 
 
+def cell_parent_expr(cell: Column, res: int, parent_res: int) -> Column:
+    """Pure-Catalyst twin of ``cells.cell_to_parent``: the coarser
+    ancestor derived from the packed cell id ALONE — no lat/lon
+    re-read. Edges double per resolution step, so the parent's grid
+    index is the child's shifted right by the level difference.
+    Same res <= 15 positivity contract as cell_expr."""
+    if not 0 <= parent_res <= res <= 15:
+        raise ValueError(f"need 0 <= parent_res <= res <= 15, got "
+                         f"{parent_res}..{res}")
+    dr = res - parent_res
+    ix = F.shiftrightunsigned(cell, cells._IX_SHIFT) \
+        .bitwiseAND(F.lit((1 << cells._IX_BITS) - 1))
+    iy = cell.bitwiseAND(F.lit((1 << cells._IY_BITS) - 1))
+    return (F.lit(parent_res) * F.lit(1 << cells._RES_SHIFT)
+            + F.shiftrightunsigned(ix, dr) * F.lit(1 << cells._IX_SHIFT)
+            + F.shiftrightunsigned(iy, dr)).cast("long")
+
+
+def tile_rollup_pyramid(frames: DataFrame, fine_res: int = 8,
+                        coarse_levels=(6, 4), salt_n: int = 16,
+                        scene_bits: int = 12, mode: str = "local",
+                        runner=None, stage_prefix: str = "pyramid") \
+        -> DataFrame:
+    """Multi-resolution tile rollup: raw frames are scanned EXACTLY
+    once (at ``fine_res``); every coarser level derives from the
+    next-finer level by pure cell-id arithmetic — algebraic stats
+    (count/min/max) re-merge from the finer aggregates, and the
+    distinct trajectory/scene counts cascade through (cell, member)
+    pair sets that shrink monotonically per level. At 100 TB this is
+    the difference between one pass and one pass per zoom level; it
+    is also how an Iceberg rollup table maintains its zoom hierarchy
+    incrementally.
+
+    Output: (res, cell, n_frames, n_trajs, n_scenes, t_min, t_max),
+    one row per cell per level, fine level included."""
+    from .. import ckpt as CK
+    from . import skew as SK
+
+    def mat(d, name):
+        # each level's frontier is materialized once, so the cascade
+        # truly scans the raw frames a single time — without this the
+        # lazy plan re-executes the fine aggregation per zoom level
+        return CK.materialize(d, mode=mode, runner=runner,
+                              stage=f"{stage_prefix}:{name}")
+
+    levels = sorted(set(int(r) for r in coarse_levels), reverse=True)
+    df = assign_tiles(frames, res=fine_res)
+    stats = mat(SK.salted_agg(
+        df, ["cell"],
+        {"n_frames": ("count", "image_id"),
+         "t_min": ("min", "t"), "t_max": ("max", "t")},
+        salt_n=salt_n), f"stats{fine_res}")
+    trajs = mat(df.select("cell", "traj_id").distinct(),
+                f"trajs{fine_res}")
+    scenes = mat(df.select(
+        "cell",
+        F.shiftrightunsigned(F.col("phash"), 64 - scene_bits)
+         .alias("scene")).distinct(), f"scenes{fine_res}")
+
+    def level_df(res, stats, trajs, scenes):
+        t = trajs.groupBy("cell").agg(F.count("*").alias("n_trajs"))
+        s = scenes.groupBy("cell").agg(F.count("*").alias("n_scenes"))
+        return (stats.join(t, "cell").join(s, "cell")
+                .select(F.lit(res).cast("int").alias("res"), "cell",
+                        "n_frames", "n_trajs", "n_scenes",
+                        "t_min", "t_max"))
+
+    out = level_df(fine_res, stats, trajs, scenes)
+    prev_res = fine_res
+    for res in levels:
+        parent = cell_parent_expr(F.col("cell"), prev_res, res)
+        stats = mat(stats.groupBy(parent.alias("cell"))
+                    .agg(F.sum("n_frames").alias("n_frames"),
+                         F.min("t_min").alias("t_min"),
+                         F.max("t_max").alias("t_max")), f"stats{res}")
+        trajs = mat(trajs.select(parent.alias("cell"), "traj_id")
+                    .distinct(), f"trajs{res}")
+        scenes = mat(scenes.select(parent.alias("cell"), "scene")
+                     .distinct(), f"scenes{res}")
+        out = out.unionByName(level_df(res, stats, trajs, scenes))
+        prev_res = res
+    return out
+
+
 def tile_image_rollup(frames: DataFrame, res: int = 8, salt_n: int = 16,
                       scene_bits: int = 12) -> DataFrame:
     """Per-cell rollup of a geotagged image-frame table — the north

@@ -51,6 +51,68 @@ def test_geo_frames_reach_negative_phash():
         "fixture must exercise the unsigned scene shift on negative int64"
 
 
+def test_tile_pyramid_levels_match_direct_assignment(spark):
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    got = (tiles.tile_rollup_pyramid(spark.createDataFrame(pdf),
+                                     fine_res=8, coarse_levels=(6, 4))
+           .toPandas())
+    for res in (8, 6, 4):
+        lvl = (got[got["res"] == res].drop(columns=["res"])
+               .sort_values("cell").reset_index(drop=True))
+        want = _brute_rollup(pdf, res=res)
+        pd.testing.assert_frame_equal(lvl[want.columns], want,
+                                      check_dtype=False)
+
+
+def test_tile_pyramid_parent_child_consistency(spark):
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    got = (tiles.tile_rollup_pyramid(spark.createDataFrame(pdf),
+                                     fine_res=8, coarse_levels=(6,))
+           .toPandas())
+    fine = got[got["res"] == 8].copy()
+    coarse = got[got["res"] == 6].set_index("cell")
+    fine["parent"] = cells.cell_to_parent(fine["cell"].to_numpy(), 6)
+    merged = fine.groupby("parent").agg(n_frames=("n_frames", "sum"),
+                                        t_min=("t_min", "min"),
+                                        t_max=("t_max", "max"))
+    assert set(merged.index) == set(coarse.index)
+    merged = merged.sort_index()
+    coarse = coarse.sort_index()
+    for col in ("n_frames", "t_min", "t_max"):
+        assert (merged[col].to_numpy()
+                == coarse[col].to_numpy()).all()
+    # distinct counts are NOT sums of children (trajectories span
+    # cells) — the pyramid must still get them exact (<= the sum)
+    child_sum = fine.groupby("parent")["n_trajs"].sum().sort_index()
+    assert (coarse["n_trajs"].to_numpy()
+            <= child_sum.to_numpy()).all()
+
+
+def test_tile_pyramid_reliable_mode_resumes(spark, tmp_path):
+    from barefoot_spark.ckpt import StageRunner
+    pdf = IM.synth_geo_frames_pdf(12, 8)
+    frames = spark.createDataFrame(pdf)
+    local = (tiles.tile_rollup_pyramid(frames, fine_res=8,
+                                       coarse_levels=(6,))
+             .toPandas().sort_values(["res", "cell"])
+             .reset_index(drop=True))
+    runner = StageRunner(spark, str(tmp_path / "pyr"))
+    rel = (tiles.tile_rollup_pyramid(frames, fine_res=8,
+                                     coarse_levels=(6,),
+                                     mode="reliable", runner=runner)
+           .toPandas().sort_values(["res", "cell"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(local, rel[local.columns])
+    # second run resumes from the committed stages (same result)
+    runner2 = StageRunner(spark, str(tmp_path / "pyr"))
+    rel2 = (tiles.tile_rollup_pyramid(frames, fine_res=8,
+                                      coarse_levels=(6,),
+                                      mode="reliable", runner=runner2)
+            .toPandas().sort_values(["res", "cell"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(rel, rel2)
+
+
 def test_caption_consistency_matches_brute_force(spark):
     pdf = IM.synth_caption_reuse_pdf(512)
     got = (datapipe.caption_consistency(

@@ -92,6 +92,11 @@ AUDITS = [
     ("tile_image_rollup", ["HashAggregate", "BroadcastHashJoin",
                            "!Expand", "!SinglePartition",
                            "!CartesianProduct"]),
+    # multi-resolution pyramid: coarse zoom levels re-merge from the
+    # materialized finer frontier by cell-id arithmetic — same
+    # no-Expand / no-single-reducer obligations as the flat rollup
+    ("tile_pyramid", ["Union", "HashAggregate", "!Expand",
+                      "!SinglePartition", "!CartesianProduct"]),
     # cross-modal consistency gate: one single-distinct agg per side
     # (two-level partial agg, no Expand), broadcast join-back
     ("caption_spam", ["HashAggregate", "BroadcastHashJoin", "!Expand",
