@@ -116,3 +116,37 @@ def thin_frames_stream(frames: DataFrame, min_interval: int = 4,
             .applyInPandasWithState(fn, THIN_FRAMES_SCHEMA,
                                     THIN_STATE_SCHEMA, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def cell_window_counts(frames: DataFrame, time_col: str = "ts",
+                       res: int = 8, window: str = "10 minutes",
+                       delay: str = "5 minutes") -> DataFrame:
+    """Streaming per-cell tumbling-window frame counts — the live twin
+    of ``operators.tiles.tile_image_rollup``'s count column: geotag ->
+    codegen cell id (``tiles.cell_expr`` is a plain Column expression,
+    so it runs unchanged inside a streaming plan) -> event-time window
+    aggregation with WATERMARK-BOUNDED state.
+
+    Output: (win_start, win_end, cell, n_frames), one row per finalized
+    window per cell (append mode: a window emits once the watermark
+    passes its end; frames later than `delay` behind the max event
+    time are dropped, the same late-data discipline as the tracker's
+    out-of-order reject).
+
+    Scale shape: state is ONE count row per live (window, cell) pair —
+    bounded by active-cell count x windows-in-flight, never corpus
+    size — and partial aggregation happens map-side before the state
+    store, so a hot downtown cell ships one partial per task, not one
+    row per frame. Works identically on a batch DataFrame (watermark
+    is a no-op, every window emits): backfill and live ingest share
+    the code path."""
+    from ..operators import tiles as T
+    out = (frames
+           .withColumn("cell", T.cell_expr(F.col("lat"), F.col("lon"),
+                                           res))
+           .withWatermark(time_col, delay)
+           .groupBy(F.window(F.col(time_col), window), "cell")
+           .agg(F.count("*").alias("n_frames")))
+    return out.select(F.col("window.start").alias("win_start"),
+                      F.col("window.end").alias("win_end"),
+                      "cell", "n_frames")

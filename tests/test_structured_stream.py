@@ -213,3 +213,67 @@ def test_thin_frames_stream_matches_batch(spark, tmp_path):
     assert len(got) == len(pdf)
     assert (got.kept == want.kept).all()
     assert 0 < got.kept.sum() < len(got)
+
+
+def test_cell_window_counts_stream(spark, tmp_path):
+    """Streaming per-cell windowed counts: windows finalize when the
+    watermark passes, late frames beyond the delay are dropped, and
+    the same operator on a batch frame emits every window."""
+    from barefoot_spark.streaming import ingest as IG
+
+    in_dir = str(tmp_path / "geo_in")
+    ckpt = str(tmp_path / "geo_ckpt")
+    os.makedirs(in_dir)
+
+    schema = "image_id string, lat double, lon double, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = IG.cell_window_counts(stream, window="10 minutes",
+                                delay="5 minutes", res=8)
+    q = (out.writeStream.format("memory").queryName("cellcounts")
+         .option("checkpointLocation", ckpt).outputMode("append").start())
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["image_id", "lat", "lon", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        (spark.createDataFrame(pdf).coalesce(1)
+         .write.mode("append").parquet(in_dir))
+        q.processAllAvailable()
+
+    A = (52.52, 13.40)   # one res-8 cell
+    B = (48.14, 11.58)   # a different res-8 cell
+    t0 = "2026-01-01 00:"
+    batch([("f1", *A, t0 + "01:00"), ("f2", *A, t0 + "03:00"),
+           ("f3", *B, t0 + "04:00")])
+    # nothing emitted yet: watermark has not passed the window end
+    assert spark.sql("select * from cellcounts").count() == 0
+
+    # advance event time -> watermark 00:20 -> [00:00,00:10) finalizes
+    batch([("f4", *A, t0 + "25:00")])
+    got = spark.sql(
+        "select cell, n_frames from cellcounts").toPandas()
+    assert sorted(got.n_frames.tolist()) == [1, 2]
+    assert got.cell.nunique() == 2
+
+    # a frame behind the watermark is DROPPED, not re-emitted
+    batch([("late", *A, t0 + "02:00")])
+    # advance far enough to finalize [00:20,00:30)
+    batch([("f5", *B, t0 + "45:00")])
+    got2 = spark.sql(
+        "select cell, n_frames from cellcounts").toPandas()
+    q.stop()
+    # late frame did not resurrect the closed window; f4's window
+    # emitted exactly one frame
+    assert sorted(got2.n_frames.tolist()) == [1, 1, 2]
+
+    # batch mode: same operator, every window emits
+    pdf = pd.DataFrame(
+        [("f1", *A, "2026-01-01 00:01:00"),
+         ("f2", *A, "2026-01-01 00:03:00"),
+         ("f3", *B, "2026-01-01 00:04:00"),
+         ("f4", *A, "2026-01-01 00:25:00")],
+        columns=["image_id", "lat", "lon", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    b = (IG.cell_window_counts(spark.createDataFrame(pdf),
+                               window="10 minutes", res=8)
+         .toPandas())
+    assert sorted(b.n_frames.tolist()) == [1, 1, 2]
