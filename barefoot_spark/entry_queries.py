@@ -2528,11 +2528,18 @@ def q_jaccard_pairs(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+def word_grams_sql(text_col: str = "text", n: int = 3) -> str:
+    """DuckDB twin of datapipe.word_grams_col: distinct lowercased
+    word n-grams as a list expression."""
+    words = f"string_split_regex(lower({text_col}), '\\s+')"
+    return (f"list_distinct(list_transform(list_filter(list_transform("
+            f"range(0, greatest(len({words}) - {n}, 0) + 1), "
+            f"i -> {words}[i+1:i+{n}]), "
+            f"w -> len(w) = {n}), w -> array_to_string(w, ' ')))")
+
+
 def oracle_jaccard_pairs(sf_dir):
-    grams = ("list_distinct(list_transform(list_filter(list_transform("
-             "range(0, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 0) + 1), "
-             "i -> string_split_regex(lower(text), '\\s+')[i+1:i+3]), "
-             "w -> len(w) = 3), w -> array_to_string(w, ' ')))")
+    grams = word_grams_sql("text", 3)
     return f"""
         WITH ids AS (SELECT doc_id FROM documents),
         pairs AS (
@@ -2552,6 +2559,45 @@ def oracle_jaccard_pairs(sf_dir):
         FROM pairs
         JOIN g lg ON lg.doc_id = left_id
         JOIN g rg ON rg.doc_id = right_id
+    """
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-leakage gate: documents sharing any word 3-gram with the
+    benchmark slice (every 53rd doc plays the held-out eval set) are
+    flagged with distinct-gram and distinct-benchmark-doc counts.
+    (Real deployments use 8-13-gram windows; the synthetic corpus's
+    shared phrases are shorter, and 3-grams give the fixture a rich
+    hit distribution — n is a parameter either way.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = (docs.filter(F.col("doc_id") % 53 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return DP.decontaminate(docs, bench, n=3)
+
+
+def oracle_decontaminate(sf_dir):
+    grams = word_grams_sql("text", 3)
+    return f"""
+        WITH bg AS (
+            SELECT DISTINCT doc_id AS bench_id, unnest({grams}) AS gram
+            FROM documents WHERE doc_id % 53 = 0),
+        dg AS (
+            SELECT doc_id, unnest({grams}) AS gram FROM documents),
+        hits AS (
+            SELECT d.doc_id, b.bench_id, d.gram
+            FROM dg d JOIN bg b USING (gram)
+            WHERE d.doc_id <> b.bench_id),
+        a AS (
+            SELECT doc_id,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS n_hits,
+                   CAST(count(DISTINCT bench_id) AS BIGINT)
+                       AS n_bench_docs
+            FROM hits GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_hits, 0) AS n_hits,
+               coalesce(a.n_bench_docs, 0) AS n_bench_docs,
+               (a.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN a USING (doc_id)
     """
 
 
@@ -2715,6 +2761,7 @@ QUERIES = {
     "dbcan_core_events": q_dbcan_core_events,
     "dbrcan_function": q_dbrcan_function,
     "jaccard_pairs": q_jaccard_pairs,
+    "decontaminate": q_decontaminate,
     "minhash_dedup": q_minhash_dedup,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "simhash_dedup": q_simhash_dedup,
@@ -2770,6 +2817,7 @@ ORACLES = {
     "dbcan_events": oracle_dbcan_events,
     "dbcan_core_events": oracle_dbcan_core_events,
     "jaccard_pairs": oracle_jaccard_pairs,
+    "decontaminate": oracle_decontaminate,
     "doc_fingerprint": oracle_doc_fingerprint,
     "dbrcan_function": oracle_dbrcan_function,
     "connected_components": oracle_connected_components,

@@ -972,6 +972,23 @@ def frame_thinning_oracle_sql(table="frames", traj_col="traj_id",
 # n-gram Jaccard (exact) on candidate pairs
 # ---------------------------------------------------------------------------
 
+def word_grams_col(text_col: str, n: int):
+    """Distinct lowercased word n-grams of a text column as an array
+    Column — pure Catalyst higher-order functions (shared by the
+    Jaccard verify stage and the decontamination gate; the DuckDB
+    twin is the list_transform/list_filter fragment in
+    entry_queries.word_grams_sql)."""
+    words = F.split(F.lower(text_col), r"\s+")
+    return F.array_distinct(F.transform(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.slice(words, i + 1, n)),
+            lambda arr: F.size(arr) == n),
+        lambda arr: F.concat_ws(" ", arr)))
+
+
 def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 3,
                   text_col="text", id_col="doc_id") -> DataFrame:
     """Exact word n-gram Jaccard for given (left_id, right_id) pairs —
@@ -979,14 +996,7 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 3,
     sentences -> ngrams -> array_intersect/union."""
     grams = documents.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(F.transform(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(
-                        F.size(F.split(F.lower(text_col), r"\s+")) - n, F.lit(0))),
-                    lambda i: F.slice(F.split(F.lower(text_col), r"\s+"), i + 1, n)),
-                lambda arr: F.size(arr) == n),
-            lambda arr: F.concat_ws(" ", arr))).alias("grams"))
+        word_grams_col(text_col, n).alias("grams"))
     out = (pairs
            .join(grams.withColumnRenamed("_id", "left_id")
                  .withColumnRenamed("grams", "lgrams"), "left_id")
@@ -997,6 +1007,52 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 3,
     return out.select(
         "left_id", "right_id",
         (inter / F.greatest(union, F.lit(1))).alias("jaccard"))
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                  n: int = 5, text_col="text", id_col="doc_id",
+                  bench_id_col="bench_id") -> DataFrame:
+    """Benchmark decontamination — the eval-leakage gate every
+    training-data pipeline needs: flag corpus documents that share ANY
+    word n-gram with a held-out benchmark/eval set (the n-gram overlap
+    check popularized by GPT-3 appendix C / the Pile).
+
+    Output per corpus document: (doc_id, n_hits = distinct shared
+    n-grams, n_bench_docs = distinct benchmark docs hit,
+    contaminated). Self-pairs (same id on both sides, for
+    benchmark-derived fixtures) are excluded.
+
+    100-TB shape: the benchmark side is tiny by construction (eval
+    suites are ~10^5 items vs 10^12 training docs) — its exploded
+    distinct gram table BROADCASTS, so the corpus side joins without
+    a shuffle and only (id, gram) survivor rows reach the per-doc
+    aggregation; the two distinct counts use dedup-then-count in
+    separate aggs (no Expand, same discipline as tile_image_rollup);
+    the final flag join-back keys on doc_id against the (small)
+    contaminated-doc aggregate, broadcast again."""
+    d_grams = (documents.select(
+        F.col(id_col),
+        F.explode(word_grams_col(text_col, n)).alias("gram")))
+    b_grams = (benchmark.select(
+        F.col(bench_id_col),
+        F.explode(word_grams_col(text_col, n)).alias("gram"))
+        .distinct())
+    hits = (d_grams.join(F.broadcast(b_grams), "gram")
+            .filter(F.col(id_col) != F.col(bench_id_col)))
+    n_hits = (hits.select(id_col, "gram").distinct()
+              .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    n_bench = (hits.select(id_col, bench_id_col).distinct()
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_bench_docs")))
+    agg = n_hits.join(n_bench, id_col)
+    return (documents.select(id_col)
+            .join(F.broadcast(agg), id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_hits", F.lit(0).cast("long"))
+                     .alias("n_hits"),
+                    F.coalesce("n_bench_docs", F.lit(0).cast("long"))
+                     .alias("n_bench_docs"),
+                    F.col("n_hits").isNotNull().alias("contaminated")))
 
 
 # ---------------------------------------------------------------------------

@@ -1220,3 +1220,44 @@ def test_minhash_index_probe_matches_live_join(spark, tmp_path):
     assert len(re.findall(r"ArrowEvalPython", plan)) <= 1
     assert re.search(r"Location:.*mh_index/bands", plan)
     assert re.search(r"Location:.*mh_index/sigs", plan)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Docs sharing an n-gram with the benchmark are flagged with
+    exact distinct-gram / distinct-bench-doc counts; clean docs pass;
+    self-pairs are excluded."""
+    from barefoot_spark.operators.datapipe import decontaminate
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",  # hits b10
+            "a completely different sentence with no overlap here",
+            "quick brown fox appears again and lazy dog sleeps",
+            "the capital of france is paris said the exam",   # hits b11
+        ]}))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "bench_id": [10, 11],
+        "text": ["quick brown fox trivia question",
+                 "the capital of france is paris"]}))
+    got = (decontaminate(docs, bench, n=3).toPandas()
+           .set_index("doc_id").sort_index())
+    # doc 1 + 3 share exactly the gram "quick brown fox" with b10
+    assert got.loc[1].tolist() == [1, 1, True]
+    assert got.loc[3].tolist() == [1, 1, True]
+    assert got.loc[2].tolist() == [0, 0, False]
+    # doc 4 shares 4 distinct 3-grams of b11's 4-gram-long text
+    assert got.loc[4, "n_bench_docs"] == 1
+    assert got.loc[4, "n_hits"] == 4
+    assert bool(got.loc[4, "contaminated"])
+
+    # a benchmark doc replayed in the corpus with the SAME id is a
+    # self-pair -> excluded; with a different id -> fully flagged
+    docs2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 20],
+        "text": ["quick brown fox trivia question"] * 2}))
+    got2 = (decontaminate(docs2, bench, n=3).toPandas()
+            .set_index("doc_id"))
+    assert not got2.loc[10, "contaminated"]
+    assert bool(got2.loc[20, "contaminated"])
+    assert got2.loc[20, "n_hits"] == 3

@@ -109,6 +109,13 @@ AUDITS = [
     # index bucket never collapses onto one shuffle key; hamming
     # verify is codegen'd bit_count; best-match pick is a keyed window
     ("incremental_dedup", ["bit_count", "Window", "!CartesianProduct"]),
+    # decontamination: the benchmark gram table is the BROADCAST side
+    # of the corpus join (the corpus never shuffles to meet it); the
+    # parquet scan reads only (doc_id, text); no Expand, no cartesian
+    ("decontaminate", ["BroadcastHashJoin",
+                       "ReadSchema: struct<doc_id:bigint,text:string>",
+                       "!Expand", "!CartesianProduct",
+                       "!SinglePartition"]),
     ("dbcan_events", ["Window", "!SinglePartition"]),
     ("dbcan_core_events", ["Window", "!SinglePartition"]),
     ("dbrcan_mod_events", ["Window", "!SinglePartition"]),
