@@ -1068,21 +1068,36 @@ def q_tile_image_rollup(spark, sf_dir):
     return T.tile_image_rollup(frames, res=8, salt_n=16, scene_bits=12)
 
 
-def oracle_tile_image_rollup(sf_dir):
-    """Plain GROUP BY twin (salting is algebraic — re-merge is exact):
-    same cell integer math as the tile_assign oracle, scene bucket via
-    the HUGEINT unsigned-shift pattern (phash sign handled by +2^64)."""
+def _geo_frames_vals() -> str:
+    """The deterministic geotagged-frame fixture as a VALUES list
+    (shared by the tile rollup and pyramid oracles — full-precision
+    repr round-trips the float64 lat/lon exactly)."""
     from .sources import images as IM
     pdf = IM.synth_geo_frames_pdf(48, 32)
-    vals = ", ".join(
+    return ", ".join(
         f"({int(r.traj_id)}, '{r.image_id}', {int(r.t)}, "
         f"CAST('{r.lat!r}' AS DOUBLE), CAST('{r.lon!r}' AS DOUBLE), "
         f"{int(r.phash)})"
         for r in pdf.itertuples(index=False))
+
+
+def _scene_bucket_sql(scene_bits: int = 12) -> str:
+    """DuckDB twin of the Spark side's
+    shiftrightunsigned(phash, 64 - scene_bits): HUGEINT arithmetic
+    handles the int64 sign (u64(phash) >> (64 - scene_bits))."""
+    div = 1 << (64 - scene_bits)
+    return ("CAST(((phash::HUGEINT + CASE WHEN phash < 0 THEN "
+            "18446744073709551616::HUGEINT ELSE 0::HUGEINT END) "
+            f"// {div}) AS BIGINT)")
+
+
+def oracle_tile_image_rollup(sf_dir):
+    """Plain GROUP BY twin (salting is algebraic — re-merge is exact):
+    same cell integer math as the tile_assign oracle, scene bucket via
+    the HUGEINT unsigned-shift pattern (phash sign handled by +2^64)."""
+    vals = _geo_frames_vals()
     cell = T.cell_expr_sql("lat", "lon", 8)
-    scene = ("CAST(((phash::HUGEINT + CASE WHEN phash < 0 THEN "
-             "18446744073709551616::HUGEINT ELSE 0::HUGEINT END) "
-             "// 4503599627370496) AS BIGINT)")   # u64(phash) >> 52
+    scene = _scene_bucket_sql(12)
     return f"""
         WITH f(traj_id, image_id, t, lat, lon, phash) AS (VALUES {vals}),
         c AS (SELECT *, {cell} AS cell FROM f)
@@ -1113,16 +1128,8 @@ def oracle_tile_pyramid(sf_dir):
     lat/lon cell assignment at that resolution (never via the parent
     arithmetic), so the Spark side's cell_parent_expr cascade is
     cross-checked against first-principles assignment per level."""
-    from .sources import images as IM
-    pdf = IM.synth_geo_frames_pdf(48, 32)
-    vals = ", ".join(
-        f"({int(r.traj_id)}, '{r.image_id}', {int(r.t)}, "
-        f"CAST('{r.lat!r}' AS DOUBLE), CAST('{r.lon!r}' AS DOUBLE), "
-        f"{int(r.phash)})"
-        for r in pdf.itertuples(index=False))
-    scene = ("CAST(((phash::HUGEINT + CASE WHEN phash < 0 THEN "
-             "18446744073709551616::HUGEINT ELSE 0::HUGEINT END) "
-             "// 4503599627370496) AS BIGINT)")   # u64(phash) >> 52
+    vals = _geo_frames_vals()
+    scene = _scene_bucket_sql(12)
     levels = []
     for res in (8, 6, 4):
         cell = T.cell_expr_sql("lat", "lon", res)
@@ -1146,9 +1153,7 @@ def q_caption_spam(spark, sf_dir):
     from .sources import images as IM
     pdf = IM.synth_caption_reuse_pdf(512)
     images = spark.createDataFrame(pdf, schema=IM.IMAGES_SCHEMA)
-    return DP.caption_consistency(images).select(
-        "image_id", "caption_images", "caption_scenes", "phash_captions",
-        "is_spam_caption", "is_conflict")
+    return DP.caption_consistency(images)
 
 
 def oracle_caption_spam(sf_dir):

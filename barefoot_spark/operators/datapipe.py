@@ -869,13 +869,22 @@ def caption_consistency(images: DataFrame, id_col="image_id",
                 F.countDistinct(phash_col).alias("caption_scenes")))
     ph = (slim.groupBy(phash_col)
           .agg(F.countDistinct(caption_col).alias("phash_captions")))
-    return (slim.join(cap, caption_col).join(ph, phash_col)
-            .select(id_col, "caption_images", "caption_scenes",
-                    "phash_captions",
-                    ((F.col("caption_images") >= spam_min_images)
-                     & (F.col("caption_scenes") >= spam_min_scenes))
-                    .alias("is_spam_caption"),
-                    (F.col("phash_captions") > 1).alias("is_conflict")))
+    # null-safe equi-joins (<=>): a crawl row with a NULL caption or
+    # phash still forms a groupBy group, but a plain equi-join back
+    # would never match the NULL key and the image would silently
+    # vanish from the output — every input row must come back flagged
+    s, c, p = slim.alias("s"), cap.alias("c"), ph.alias("p")
+    joined = (s.join(c, F.col(f"s.{caption_col}")
+                     .eqNullSafe(F.col(f"c.{caption_col}")))
+              .join(p, F.col(f"s.{phash_col}")
+                    .eqNullSafe(F.col(f"p.{phash_col}"))))
+    return joined.select(
+        f"s.{id_col}", "caption_images", "caption_scenes",
+        "phash_captions",
+        ((F.col("caption_images") >= spam_min_images)
+         & (F.col("caption_scenes") >= spam_min_scenes))
+        .alias("is_spam_caption"),
+        (F.col("phash_captions") > 1).alias("is_conflict"))
 
 
 def frame_thinning(frames: DataFrame, traj_col="traj_id", time_col="t",
@@ -1011,7 +1020,8 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 3,
 
 def decontaminate(documents: DataFrame, benchmark: DataFrame,
                   n: int = 5, text_col="text", id_col="doc_id",
-                  bench_id_col="bench_id") -> DataFrame:
+                  bench_id_col="bench_id", mode: str = "local",
+                  runner=None, stage_prefix: str = "decon") -> DataFrame:
     """Benchmark decontamination — the eval-leakage gate every
     training-data pipeline needs: flag corpus documents that share ANY
     word n-gram with a held-out benchmark/eval set (the n-gram overlap
@@ -1025,11 +1035,15 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
     100-TB shape: the benchmark side is tiny by construction (eval
     suites are ~10^5 items vs 10^12 training docs) — its exploded
     distinct gram table BROADCASTS, so the corpus side joins without
-    a shuffle and only (id, gram) survivor rows reach the per-doc
-    aggregation; the two distinct counts use dedup-then-count in
-    separate aggs (no Expand, same discipline as tile_image_rollup);
-    the final flag join-back keys on doc_id against the (small)
-    contaminated-doc aggregate, broadcast again."""
+    a shuffle; the survivor (doc, bench, gram) set is deduped and
+    MATERIALIZED once (ckpt.materialize seam — without it the two
+    per-doc aggregations would each re-execute the full corpus scan +
+    explode, doubling the dominant cost); both distinct counts then
+    use dedup-then-count in separate aggs over the small hit set (no
+    Expand, same discipline as tile_image_rollup); the final flag
+    join-back keys on doc_id against the (small) contaminated-doc
+    aggregate, broadcast again."""
+    from .. import ckpt as CK
     d_grams = (documents.select(
         F.col(id_col),
         F.explode(word_grams_col(text_col, n)).alias("gram")))
@@ -1037,8 +1051,11 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
         F.col(bench_id_col),
         F.explode(word_grams_col(text_col, n)).alias("gram"))
         .distinct())
-    hits = (d_grams.join(F.broadcast(b_grams), "gram")
-            .filter(F.col(id_col) != F.col(bench_id_col)))
+    hits = CK.materialize(
+        (d_grams.join(F.broadcast(b_grams), "gram")
+         .filter(F.col(id_col) != F.col(bench_id_col))
+         .distinct()),
+        mode=mode, runner=runner, stage=f"{stage_prefix}:hits")
     n_hits = (hits.select(id_col, "gram").distinct()
               .groupBy(id_col).agg(F.count("*").alias("n_hits")))
     n_bench = (hits.select(id_col, bench_id_col).distinct()

@@ -85,6 +85,41 @@ def cell_parent_expr(cell: Column, res: int, parent_res: int) -> Column:
             + F.shiftrightunsigned(iy, dr)).cast("long")
 
 
+def _rollup_parts(df: DataFrame, salt_n: int, scene_bits: int):
+    """The three skew-safe branches of a per-cell rollup over a
+    cell-assigned frame table: salted algebraic stats, and the
+    distinct (cell, trajectory) / (cell, scene-bucket) pair sets.
+    Distinct counts deliberately AVOID ``countDistinct(a),
+    countDistinct(b)`` in one agg — Spark plans multi-distinct via
+    Expand (row blowup, hot key on one reducer) — and instead dedup
+    the pair set first, spreading a hot cell across its distinct
+    members. Shared by tile_image_rollup and the pyramid cascade."""
+    from . import skew as SK
+    stats = SK.salted_agg(
+        df, ["cell"],
+        {"n_frames": ("count", "image_id"),
+         "t_min": ("min", "t"), "t_max": ("max", "t")},
+        salt_n=salt_n)
+    trajs = df.select("cell", "traj_id").distinct()
+    scenes = df.select(
+        "cell",
+        F.shiftrightunsigned(F.col("phash"), 64 - scene_bits)
+         .alias("scene")).distinct()
+    return stats, trajs, scenes
+
+
+def _rollup_join(stats: DataFrame, trajs: DataFrame,
+                 scenes: DataFrame) -> DataFrame:
+    """Count the deduped pair sets per cell and re-join the three
+    branches on cell — a post-aggregation key whose cardinality is
+    the tile count, not the frame count."""
+    t = trajs.groupBy("cell").agg(F.count("*").alias("n_trajs"))
+    s = scenes.groupBy("cell").agg(F.count("*").alias("n_scenes"))
+    return (stats.join(t, "cell").join(s, "cell")
+            .select("cell", "n_frames", "n_trajs", "n_scenes",
+                    "t_min", "t_max"))
+
+
 def tile_rollup_pyramid(frames: DataFrame, fine_res: int = 8,
                         coarse_levels=(6, 4), salt_n: int = 16,
                         scene_bits: int = 12, mode: str = "local",
@@ -103,7 +138,6 @@ def tile_rollup_pyramid(frames: DataFrame, fine_res: int = 8,
     Output: (res, cell, n_frames, n_trajs, n_scenes, t_min, t_max),
     one row per cell per level, fine level included."""
     from .. import ckpt as CK
-    from . import skew as SK
 
     def mat(d, name):
         # each level's frontier is materialized once, so the cascade
@@ -112,27 +146,20 @@ def tile_rollup_pyramid(frames: DataFrame, fine_res: int = 8,
         return CK.materialize(d, mode=mode, runner=runner,
                               stage=f"{stage_prefix}:{name}")
 
-    levels = sorted(set(int(r) for r in coarse_levels), reverse=True)
+    # fine_res is always emitted by the base level — re-listing it in
+    # coarse_levels would union a duplicate (res, cell) block via a
+    # dr=0 identity re-merge, breaking (res, cell)-keyed consumers
+    levels = sorted({int(r) for r in coarse_levels} - {fine_res},
+                    reverse=True)
     df = assign_tiles(frames, res=fine_res)
-    stats = mat(SK.salted_agg(
-        df, ["cell"],
-        {"n_frames": ("count", "image_id"),
-         "t_min": ("min", "t"), "t_max": ("max", "t")},
-        salt_n=salt_n), f"stats{fine_res}")
-    trajs = mat(df.select("cell", "traj_id").distinct(),
-                f"trajs{fine_res}")
-    scenes = mat(df.select(
-        "cell",
-        F.shiftrightunsigned(F.col("phash"), 64 - scene_bits)
-         .alias("scene")).distinct(), f"scenes{fine_res}")
+    stats, trajs, scenes = _rollup_parts(df, salt_n, scene_bits)
+    stats = mat(stats, f"stats{fine_res}")
+    trajs = mat(trajs, f"trajs{fine_res}")
+    scenes = mat(scenes, f"scenes{fine_res}")
 
     def level_df(res, stats, trajs, scenes):
-        t = trajs.groupBy("cell").agg(F.count("*").alias("n_trajs"))
-        s = scenes.groupBy("cell").agg(F.count("*").alias("n_scenes"))
-        return (stats.join(t, "cell").join(s, "cell")
-                .select(F.lit(res).cast("int").alias("res"), "cell",
-                        "n_frames", "n_trajs", "n_scenes",
-                        "t_min", "t_max"))
+        return (_rollup_join(stats, trajs, scenes)
+                .select(F.lit(res).cast("int").alias("res"), "*"))
 
     out = level_df(fine_res, stats, trajs, scenes)
     prev_res = fine_res
@@ -172,25 +199,11 @@ def tile_image_rollup(frames: DataFrame, res: int = 8, salt_n: int = 16,
     and instead use dedup-then-count: groupBy(cell, traj) spreads the
     hot cell across its distinct members before the per-cell count.
     The three branches re-join on cell, a post-aggregation key whose
-    cardinality is the tile count, not the frame count."""
-    from . import skew as SK
-    df = assign_tiles(frames, res=res)
-    base = SK.salted_agg(
-        df, ["cell"],
-        {"n_frames": ("count", "image_id"),
-         "t_min": ("min", "t"), "t_max": ("max", "t")},
-        salt_n=salt_n)
-    trajs = (df.select("cell", "traj_id").distinct()
-             .groupBy("cell").agg(F.count("*").alias("n_trajs")))
-    scenes = (df.select(
-                  "cell",
-                  F.shiftrightunsigned(F.col("phash"), 64 - scene_bits)
-                   .alias("scene"))
-              .distinct()
-              .groupBy("cell").agg(F.count("*").alias("n_scenes")))
-    return (base.join(trajs, "cell").join(scenes, "cell")
-            .select("cell", "n_frames", "n_trajs", "n_scenes",
-                    "t_min", "t_max"))
+    cardinality is the tile count, not the frame count (see
+    _rollup_parts/_rollup_join, shared with the pyramid cascade)."""
+    return _rollup_join(
+        *_rollup_parts(assign_tiles(frames, res=res), salt_n,
+                       scene_bits))
 
 
 def assign_tiles(df: DataFrame, lat="lat", lon="lon", res: int = 15,

@@ -152,3 +152,20 @@ def test_caption_consistency_flags_planted_failures(spark):
     # unique well-formed rows are untouched
     assert not got["is_spam_caption"].all()
     assert not got["is_conflict"].all()
+
+
+def test_caption_consistency_keeps_null_keys(spark):
+    """Rows with NULL caption or phash (missing alt-text / unhashable
+    bytes) must still come back flagged — the join-back is null-safe."""
+    df = spark.createDataFrame(
+        [("n1", None, 5), ("n2", None, 6), ("p1", "cap a", None),
+         ("x", "cap b", 7)],
+        schema="image_id string, caption string, phash long")
+    got = (datapipe.caption_consistency(df).toPandas()
+           .set_index("image_id").sort_index())
+    assert len(got) == 4                      # nothing silently dropped
+    # the two NULL captions form one group spanning two distinct images
+    assert got.loc["n1", "caption_images"] == 2
+    assert got.loc["n2", "caption_scenes"] == 2
+    assert not got["is_spam_caption"].any()
+    assert not got["is_conflict"].any()

@@ -109,11 +109,13 @@ AUDITS = [
     # index bucket never collapses onto one shuffle key; hamming
     # verify is codegen'd bit_count; best-match pick is a keyed window
     ("incremental_dedup", ["bit_count", "Window", "!CartesianProduct"]),
-    # decontamination: the benchmark gram table is the BROADCAST side
-    # of the corpus join (the corpus never shuffles to meet it); the
-    # parquet scan reads only (doc_id, text); no Expand, no cartesian
+    # decontamination: the gram-join subtree (benchmark grams
+    # broadcast against the corpus explode) is behind the
+    # materialized hit set — the visible plan is the flag join-back,
+    # which must be a broadcast over a doc_id-only parquet scan; the
+    # per-doc distinct counts show no Expand and no single reducer
     ("decontaminate", ["BroadcastHashJoin",
-                       "ReadSchema: struct<doc_id:bigint,text:string>",
+                       "ReadSchema: struct<doc_id:bigint>",
                        "!Expand", "!CartesianProduct",
                        "!SinglePartition"]),
     ("dbcan_events", ["Window", "!SinglePartition"]),
