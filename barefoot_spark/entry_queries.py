@@ -1146,6 +1146,39 @@ def oracle_tile_pyramid(sf_dir):
             f"(VALUES {vals}) {union}")
 
 
+def q_tile_cap_sample(spark, sf_dir):
+    """Geographic balancing: at most 8 frames per res-8 cell, picked
+    by deterministic md5 rank — the planted hot downtown cell (62% of
+    frames) is capped while sparse cells keep everything."""
+    from .sources import images as IM
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    frames = spark.createDataFrame(pdf)
+    return (T.tile_cap_sample(frames, res=8, cap=8, salt_n=16)
+            .select("cell", "image_id", "traj_id",
+                    F.col("t").cast("long").alias("t"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def oracle_tile_cap_sample(sf_dir):
+    """Single global-window twin: the salted two-stage top-K must pick
+    EXACTLY the rows one row_number window over each whole cell picks
+    (md5 rank, id tie-break — DuckDB md5 of the UTF-8 id matches
+    Spark's md5(encode(id)) hex-for-hex)."""
+    vals = _geo_frames_vals()
+    cell = T.cell_expr_sql("lat", "lon", 8)
+    return f"""
+        WITH f(traj_id, image_id, t, lat, lon, phash) AS (VALUES {vals}),
+        c AS (SELECT *, {cell} AS cell FROM f),
+        r AS (SELECT cell, image_id, traj_id, t,
+                     row_number() OVER (PARTITION BY cell
+                         ORDER BY md5(image_id), image_id) AS rank
+              FROM c)
+        SELECT cell, image_id, CAST(traj_id AS BIGINT) AS traj_id,
+               CAST(t AS BIGINT) AS t, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 8
+    """
+
+
 def q_caption_spam(spark, sf_dir):
     """Cross-modal consistency gate: boilerplate captions spanning
     many distinct images, and images (by phash) carrying conflicting
@@ -2749,6 +2782,7 @@ QUERIES = {
     "curate_images": q_curate_images,
     "tile_image_rollup": q_tile_image_rollup,
     "tile_pyramid": q_tile_pyramid,
+    "tile_cap_sample": q_tile_cap_sample,
     "caption_spam": q_caption_spam,
     "frame_thinning": q_frame_thinning,
     "incremental_dedup": q_incremental_dedup,
@@ -2808,6 +2842,7 @@ ORACLES = {
     "curate_images": oracle_curate_images,
     "tile_image_rollup": oracle_tile_image_rollup,
     "tile_pyramid": oracle_tile_pyramid,
+    "tile_cap_sample": oracle_tile_cap_sample,
     "caption_spam": oracle_caption_spam,
     "frame_thinning": oracle_frame_thinning,
     "incremental_dedup": oracle_incremental_dedup,

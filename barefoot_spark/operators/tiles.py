@@ -16,7 +16,7 @@ stage. Two equivalent implementations:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 from .. import cells
@@ -204,6 +204,39 @@ def tile_image_rollup(frames: DataFrame, res: int = 8, salt_n: int = 16,
     return _rollup_join(
         *_rollup_parts(assign_tiles(frames, res=res), salt_n,
                        scene_bits))
+
+
+def tile_cap_sample(frames: DataFrame, res: int = 8, cap: int = 32,
+                    salt_n: int = 16, id_col: str = "image_id") \
+        -> DataFrame:
+    """Geographic balancing sampler: keep at most ``cap`` frames per
+    cell — the curation move that stops a training set from being 90%
+    downtown crossings because that's where the crawl density is.
+
+    Selection is by deterministic content-hash rank (md5 of the image
+    id, ties by id), so the kept set is reproducible across runs,
+    parallelism levels, and retries — never a ``rand()`` draw.
+
+    Skew design — exact two-stage top-K: stage 1 ranks within
+    (cell, salt) where the salt is itself a hash of the id
+    (deterministic), keeping ``cap`` per salt, so the hot downtown
+    cell sorts as ``salt_n`` modest partitions instead of one
+    mega-reducer; stage 2 ranks the <= salt_n*cap survivors per cell.
+    Every member of the true per-cell top-``cap`` is in its salt
+    bucket's top-``cap``, so the composition is EXACT — the same rows
+    a single global window would pick, at a bounded per-key cost.
+
+    Output: the kept frames with (cell, rank) attached."""
+    df = assign_tiles(frames, res=res)
+    key = F.md5(F.encode(F.col(id_col), "utf-8"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n))
+    w1 = Window.partitionBy("cell", "_salt").orderBy(key, id_col)
+    w2 = Window.partitionBy("cell").orderBy(key, id_col)
+    s1 = (df.withColumn("_salt", salt)
+          .withColumn("_rn", F.row_number().over(w1))
+          .filter(F.col("_rn") <= cap).drop("_rn"))
+    return (s1.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= cap).drop("_salt"))
 
 
 def assign_tiles(df: DataFrame, lat="lat", lon="lon", res: int = 15,

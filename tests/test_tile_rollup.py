@@ -169,3 +169,37 @@ def test_caption_consistency_keeps_null_keys(spark):
     assert got.loc["n2", "caption_scenes"] == 2
     assert not got["is_spam_caption"].any()
     assert not got["is_conflict"].any()
+
+
+def test_tile_cap_sample_exact_and_deterministic(spark):
+    """The salted two-stage top-K picks exactly the single-window
+    winners (brute-force md5-rank twin), caps the hot cell, and is
+    invariant under repartitioning."""
+    import hashlib
+
+    pdf = IM.synth_geo_frames_pdf(24, 16)
+    frames = spark.createDataFrame(pdf)
+    got = (tiles.tile_cap_sample(frames, res=8, cap=5, salt_n=4)
+           .toPandas().sort_values(["cell", "rank"])
+           .reset_index(drop=True))
+    # brute force: md5-rank per cell
+    b = pdf.copy()
+    b["cell"] = cells.latlng_to_cell(b["lat"].to_numpy(),
+                                     b["lon"].to_numpy(), 8)
+    b["key"] = b["image_id"].map(
+        lambda s: hashlib.md5(s.encode()).hexdigest())
+    b = b.sort_values(["cell", "key", "image_id"])
+    b["rank"] = b.groupby("cell").cumcount() + 1
+    want = (b[b["rank"] <= 5][["cell", "image_id", "rank"]]
+            .sort_values(["cell", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["cell", "image_id", "rank"]], want, check_dtype=False)
+    # cap respected, hot cell actually clipped
+    assert got.groupby("cell")["rank"].max().max() <= 5
+    assert (b.groupby("cell").size() > 5).any()
+    # deterministic across physical layout
+    got2 = (tiles.tile_cap_sample(frames.repartition(7), res=8,
+                                  cap=5, salt_n=4)
+            .toPandas().sort_values(["cell", "rank"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[got2.columns], got2)

@@ -97,6 +97,10 @@ AUDITS = [
     # no-Expand / no-single-reducer obligations as the flat rollup
     ("tile_pyramid", ["Union", "HashAggregate", "!Expand",
                       "!SinglePartition", "!CartesianProduct"]),
+    # geographic balancing: two keyed windows — (cell, salt) then
+    # cell over <= salt_n*cap survivors — never a single partition
+    ("tile_cap_sample", ["Window", "!SinglePartition",
+                         "!CartesianProduct"]),
     # cross-modal consistency gate: one single-distinct agg per side
     # (two-level partial agg, no Expand), broadcast join-back
     ("caption_spam", ["HashAggregate", "BroadcastHashJoin", "!Expand",
