@@ -203,3 +203,20 @@ def test_tile_cap_sample_exact_and_deterministic(spark):
             .toPandas().sort_values(["cell", "rank"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got[got2.columns], got2)
+
+
+def test_cell_parent_expr_matches_numpy_kernel(spark):
+    """The Catalyst parent derivation is bit-identical to
+    cells.cell_to_parent across random points and resolution pairs
+    (incl. dr=0 identity and res 15 extremes)."""
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-89.9, 89.9, 20000)
+    lon = rng.uniform(-179.9, 179.9, 20000)
+    for rf, rc in [(15, 7), (8, 6), (12, 0), (15, 15)]:
+        fine = cells.latlng_to_cell(lat, lon, rf)
+        want = cells.cell_to_parent(fine, rc)
+        df = spark.createDataFrame(pd.DataFrame({"cell": fine}))
+        got = (df.select(tiles.cell_parent_expr(df["cell"], rf, rc)
+                         .alias("p"))
+               .toPandas()["p"].to_numpy())
+        assert (np.sort(got) == np.sort(want.astype(np.int64))).all()
