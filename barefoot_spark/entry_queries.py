@@ -1222,6 +1222,60 @@ def oracle_caption_spam(sf_dir):
     """
 
 
+def _batch_dims_pdf(n: int = 512):
+    """Scalar (image_id, w, h) fixture for batch packing — the
+    operator reads nothing else. Dimension mix covers all three
+    aspect buckets deterministically (tall 2:3 and 1:3, square, wide
+    3:2 and 3:1) with the square bucket hot."""
+    import pandas as pd
+    dims = [(32, 24), (24, 36), (32, 32), (48, 16), (16, 48),
+            (32, 30), (28, 28), (40, 26)]
+    return pd.DataFrame(
+        [(f"bat-{i:04d}", *dims[(i * 7) % len(dims)])
+         for i in range(n)],
+        columns=["image_id", "w", "h"])
+
+
+def q_pack_image_batches(spark, sf_dir):
+    """Aspect-ratio-homogeneous batch assignment: deterministic md5
+    rank within (bucket, salt), batch numbers local to the salt so a
+    hot bucket never sees one global sort."""
+    images = spark.createDataFrame(_batch_dims_pdf(512))
+    return DP.pack_image_batches(images, batch_size=8, salt_n=8)
+
+
+def oracle_pack_image_batches(sf_dir):
+    """Window twin over the same (id, w, h) scalars as a VALUES table:
+    identical CASE bucket, identical ascii(md5)-derived salt, identical
+    rank/batch arithmetic (md5 of the UTF-8 id matches Spark's
+    md5(encode(id)) hex-for-hex)."""
+    pdf = _batch_dims_pdf(512)
+    vals = ", ".join(
+        f"('{r.image_id}', {int(r.w)}, {int(r.h)})"
+        for r in pdf.itertuples(index=False))
+    return f"""
+        WITH img(image_id, w, h) AS (VALUES {vals}),
+        b AS (SELECT image_id,
+                     CASE WHEN w * 4 < h * 3 THEN 'tall'
+                          WHEN w * 3 > h * 4 THEN 'wide'
+                          ELSE 'square' END AS bucket,
+                     md5(image_id) AS key,
+                     CAST(ascii(substr(md5(image_id), 1, 1)) % 8
+                          AS INTEGER) AS salt
+              FROM img),
+        r AS (SELECT image_id, bucket, salt,
+                     row_number() OVER (PARTITION BY bucket, salt
+                         ORDER BY key, image_id) AS rnk,
+                     count(*) OVER (PARTITION BY bucket, salt) AS n
+              FROM b)
+        SELECT image_id, bucket, salt,
+               CAST((rnk - 1) // 8 AS BIGINT) AS batch_idx,
+               CAST((rnk - 1) % 8 AS BIGINT) AS slot,
+               (((rnk - 1) // 8 + 1) * 8 <= n) AS full
+        FROM r
+    """
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Rolling-crawl dedup shape: probe a new ingest batch against an
     already-indexed corpus (banded hamming equi-join — the index is
@@ -2785,6 +2839,7 @@ QUERIES = {
     "tile_cap_sample": q_tile_cap_sample,
     "caption_spam": q_caption_spam,
     "frame_thinning": q_frame_thinning,
+    "pack_image_batches": q_pack_image_batches,
     "incremental_dedup": q_incremental_dedup,
     "incremental_text_dedup": q_incremental_text_dedup,
     "token_budget_sample": q_token_budget_sample,
@@ -2845,6 +2900,7 @@ ORACLES = {
     "tile_cap_sample": oracle_tile_cap_sample,
     "caption_spam": oracle_caption_spam,
     "frame_thinning": oracle_frame_thinning,
+    "pack_image_batches": oracle_pack_image_batches,
     "incremental_dedup": oracle_incremental_dedup,
     "incremental_text_dedup": oracle_incremental_text_dedup,
     "token_budget_sample": oracle_token_budget_sample,

@@ -887,6 +887,50 @@ def caption_consistency(images: DataFrame, id_col="image_id",
         (F.col("phash_captions") > 1).alias("is_conflict"))
 
 
+def pack_image_batches(images: DataFrame, batch_size: int = 8,
+                       salt_n: int = 8, id_col: str = "image_id") \
+        -> DataFrame:
+    """Vision-loader batch assignment: group images into
+    aspect-ratio-homogeneous batches (tall / square / wide) so a
+    training step never pads a 3:1 banner against a portrait crop —
+    the image twin of pack_sequences' token packing.
+
+    Batch identity is fully deterministic: images rank by md5 content
+    hash (ties by id) within (bucket, salt), where the salt is itself
+    a hash of the id — reproducible across runs, parallelism, and
+    retries, never a rand draw. Batches NEVER cross salts, so a
+    bucket holding 10^9 square images is ranked as ``salt_n``
+    independent window partitions instead of one global sort — the
+    same discipline as tile_cap_sample, traded here for batch numbers
+    that are local to (bucket, salt) rather than globally dense.
+
+    Output per image: (image_id, bucket, salt, batch_idx, slot, full)
+    — ``full`` is False for each salt's trailing remainder batch
+    (fewer than batch_size members), which a loader can drop or
+    re-queue."""
+    ar_bucket = (F.when(F.col("w") * 4 < F.col("h") * 3, "tall")
+                 .when(F.col("w") * 3 > F.col("h") * 4, "wide")
+                 .otherwise("square"))
+    key = F.md5(F.encode(F.col(id_col), "utf-8"))
+    salt = (F.ascii(F.substring(key, 1, 1)) % salt_n).cast("int")
+    w = Window.partitionBy("bucket", "salt").orderBy("_key", id_col)
+    ranked = (images.select(F.col(id_col), F.col("w"), F.col("h"))
+              .withColumn("bucket", ar_bucket)
+              .withColumn("_key", key)
+              .withColumn("salt", salt)
+              .withColumn("_rank", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy("bucket", "salt"))))
+    b = F.lit(batch_size)
+    return ranked.select(
+        id_col, "bucket", "salt",
+        F.floor((F.col("_rank") - 1) / b).cast("long")
+        .alias("batch_idx"),
+        ((F.col("_rank") - 1) % b).cast("long").alias("slot"),
+        ((F.floor((F.col("_rank") - 1) / b) + 1) * b <= F.col("_n"))
+        .alias("full"))
+
+
 def frame_thinning(frames: DataFrame, traj_col="traj_id", time_col="t",
                    id_col="image_id", phash_col="phash",
                    min_interval: int = 4, max_hamming: int = 6) -> DataFrame:

@@ -1261,3 +1261,32 @@ def test_decontaminate_planted_overlap(spark):
     assert not got2.loc[10, "contaminated"]
     assert bool(got2.loc[20, "contaminated"])
     assert got2.loc[20, "n_hits"] == 3
+
+
+def test_pack_image_batches_invariants(spark):
+    """Batches are aspect-homogeneous, full batches hold exactly
+    batch_size distinct slots, the assignment is deterministic across
+    physical layout, and every image is assigned exactly once."""
+    from barefoot_spark.entry_queries import _batch_dims_pdf
+    from barefoot_spark.operators.datapipe import pack_image_batches
+
+    pdf = _batch_dims_pdf(300)
+    df = spark.createDataFrame(pdf)
+    got = pack_image_batches(df, batch_size=4, salt_n=4).toPandas()
+    assert len(got) == 300 and got.image_id.is_unique
+    g = got.groupby(["bucket", "salt", "batch_idx"])
+    sizes = g.size()
+    # a batch is full iff it has exactly batch_size members
+    assert (g["full"].all() == (sizes == 4)).all()
+    # slots within a batch are 0..len-1, each exactly once
+    assert (g["slot"].apply(lambda s: sorted(s) == list(range(len(s))))
+            ).all()
+    # at most one non-full (remainder) batch per (bucket, salt)
+    rem = got[~got["full"]].groupby(["bucket", "salt"])
+    assert (rem["batch_idx"].nunique() <= 1).all()
+    # deterministic under repartitioning
+    got2 = (pack_image_batches(df.repartition(5), batch_size=4,
+                               salt_n=4)
+            .toPandas().sort_values("image_id").reset_index(drop=True))
+    got1 = got.sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, got2[got1.columns])

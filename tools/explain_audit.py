@@ -97,6 +97,10 @@ AUDITS = [
     # no-Expand / no-single-reducer obligations as the flat rollup
     ("tile_pyramid", ["Union", "HashAggregate", "!Expand",
                       "!SinglePartition", "!CartesianProduct"]),
+    # vision batch packing: both windows key on (bucket, salt) — a
+    # hot aspect bucket ranks as salt_n partitions, never one sort
+    ("pack_image_batches", ["Window", "!SinglePartition",
+                            "!CartesianProduct"]),
     # geographic balancing: two keyed windows — (cell, salt) then
     # cell over <= salt_n*cap survivors — never a single partition
     ("tile_cap_sample", ["Window", "!SinglePartition",
