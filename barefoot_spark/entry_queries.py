@@ -1236,6 +1236,48 @@ def _batch_dims_pdf(n: int = 512):
         columns=["image_id", "w", "h"])
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Training-mixture rebalance over documents: doc_id % 3 plays the
+    source label (web/books/code); web keeps 25%, books 60%, code is
+    absent from the fractions map and therefore dropped."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = (F.when(F.col("doc_id") % 3 == 0, "web")
+           .when(F.col("doc_id") % 3 == 1, "books")
+           .otherwise("code"))
+    return DP.mixture_sample(docs.withColumn("source", src),
+                             {"web": 0.25, "books": 0.6}, salt_n=8)
+
+
+def oracle_mixture_sample(sf_dir):
+    """Window twin with the identical md5 rank / ascii salt / per-salt
+    ceil math; the fractions are e0 float literals so DuckDB multiplies
+    in float64 exactly like Spark (a DECIMAL 0.6 would round-trip
+    0.6*n differently at ceil boundaries)."""
+    return """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'web'
+                        WHEN doc_id % 3 = 1 THEN 'books'
+                        ELSE 'code' END AS source
+            FROM documents),
+        k AS (SELECT doc_id, source,
+                     md5(CAST(doc_id AS VARCHAR)) AS key,
+                     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                         % 8 AS salt
+              FROM d),
+        r AS (SELECT doc_id, source, key,
+                     row_number() OVER (PARTITION BY source, salt
+                         ORDER BY key, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY source, salt) AS n
+              FROM k)
+        SELECT doc_id, source, CAST(rnk AS BIGINT) AS rank
+        FROM r
+        WHERE rnk <= ceil((CASE source WHEN 'web' THEN 0.25e0
+                                       WHEN 'books' THEN 0.6e0
+                                       ELSE 0.0e0 END) * n)
+    """
+
+
 def q_pack_image_batches(spark, sf_dir):
     """Aspect-ratio-homogeneous batch assignment: deterministic md5
     rank within (bucket, salt), batch numbers local to the salt so a
@@ -2839,6 +2881,7 @@ QUERIES = {
     "tile_cap_sample": q_tile_cap_sample,
     "caption_spam": q_caption_spam,
     "frame_thinning": q_frame_thinning,
+    "mixture_sample": q_mixture_sample,
     "pack_image_batches": q_pack_image_batches,
     "incremental_dedup": q_incremental_dedup,
     "incremental_text_dedup": q_incremental_text_dedup,
@@ -2900,6 +2943,7 @@ ORACLES = {
     "tile_cap_sample": oracle_tile_cap_sample,
     "caption_spam": oracle_caption_spam,
     "frame_thinning": oracle_frame_thinning,
+    "mixture_sample": oracle_mixture_sample,
     "pack_image_batches": oracle_pack_image_batches,
     "incremental_dedup": oracle_incremental_dedup,
     "incremental_text_dedup": oracle_incremental_text_dedup,

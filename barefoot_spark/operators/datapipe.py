@@ -931,6 +931,42 @@ def pack_image_batches(images: DataFrame, batch_size: int = 8,
         .alias("full"))
 
 
+def mixture_sample(documents: DataFrame, fractions: dict,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   salt_n: int = 8) -> DataFrame:
+    """Dataset-mixture sampling: keep a deterministic fraction of each
+    source (web 10%, books 80%, ...) — how a training mixture is
+    rebalanced without a rand draw that changes between runs.
+
+    Rows rank by md5 content hash (ties by id) within
+    (source, id-hash salt); each salt bucket keeps exactly
+    ceil(frac * n_bucket) of its rows, so the per-source total is
+    deterministic and lands in [ceil(frac*n_s), frac*n_s + salt_n) —
+    bounded by the salt fan-out, not by chance — while a 10^12-row
+    source ranks as ``salt_n`` independent window partitions instead
+    of one global sort (same discipline as tile_cap_sample). Sources
+    missing from ``fractions`` default to 0.0 (dropped).
+
+    Output: the kept rows as (id, source, rank-within-salt)."""
+    frac = F.create_map(*[F.lit(x) for kv in fractions.items()
+                          for x in kv])
+    key = F.md5(F.encode(F.col(id_col).cast("string"), "utf-8"))
+    salt = F.pmod(F.ascii(F.substring(key, 1, 1)), F.lit(salt_n))
+    w = Window.partitionBy(source_col, "_salt").orderBy("_key", id_col)
+    wn = Window.partitionBy(source_col, "_salt")
+    ranked = (documents.select(F.col(id_col), F.col(source_col))
+              .withColumn("_key", key)
+              .withColumn("_salt", salt)
+              .withColumn("_rank", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(wn))
+              .withColumn("_f", F.coalesce(frac[F.col(source_col)],
+                                           F.lit(0.0))))
+    return (ranked
+            .filter(F.col("_rank") <= F.ceil(F.col("_f") * F.col("_n")))
+            .select(id_col, source_col,
+                    F.col("_rank").cast("long").alias("rank")))
+
+
 def frame_thinning(frames: DataFrame, traj_col="traj_id", time_col="t",
                    id_col="image_id", phash_col="phash",
                    min_interval: int = 4, max_hamming: int = 6) -> DataFrame:

@@ -1290,3 +1290,44 @@ def test_pack_image_batches_invariants(spark):
             .toPandas().sort_values("image_id").reset_index(drop=True))
     got1 = got.sort_values("image_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got1, got2[got1.columns])
+
+
+def test_mixture_sample_deterministic_proportions(spark):
+    """Per-salt exact ceil share; per-source totals land within the
+    salt_n bound; absent sources are dropped; brute-force md5-rank
+    twin matches row-for-row; invariant under repartitioning."""
+    import hashlib
+    import math
+
+    from barefoot_spark.operators.datapipe import mixture_sample
+
+    pdf = pd.DataFrame({"doc_id": range(600)})
+    pdf["source"] = pdf["doc_id"].map(
+        lambda i: ["web", "books", "code"][i % 3])
+    df = spark.createDataFrame(pdf)
+    fr = {"web": 0.25, "books": 0.6}
+    got = (mixture_sample(df, fr, salt_n=4).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # brute force with identical key/salt/ceil math
+    b = pdf.copy()
+    b["key"] = b["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    b["salt"] = b["key"].map(lambda k: ord(k[0]) % 4)
+    b = b.sort_values(["source", "salt", "key", "doc_id"])
+    b["rank"] = b.groupby(["source", "salt"]).cumcount() + 1
+    b["n"] = b.groupby(["source", "salt"])["doc_id"].transform("size")
+    b["f"] = b["source"].map(fr).fillna(0.0)
+    want = (b[b["rank"] <= np.ceil(b["f"] * b["n"])]
+            [["doc_id", "source", "rank"]]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # absent source dropped entirely; kept totals within salt bound
+    assert (got["source"] != "code").all()
+    for s, f in fr.items():
+        n_s = (pdf["source"] == s).sum()
+        kept = (got["source"] == s).sum()
+        assert math.ceil(f * n_s) <= kept < f * n_s + 4 + 1
+    # deterministic across physical layout
+    got2 = (mixture_sample(df.repartition(7), fr, salt_n=4).toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2[got.columns])

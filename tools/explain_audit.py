@@ -97,6 +97,10 @@ AUDITS = [
     # no-Expand / no-single-reducer obligations as the flat rollup
     ("tile_pyramid", ["Union", "HashAggregate", "!Expand",
                       "!SinglePartition", "!CartesianProduct"]),
+    # mixture rebalance: windows key on (source, salt) — a hot source
+    # ranks as salt_n partitions; filters are row-local
+    ("mixture_sample", ["Window", "!SinglePartition",
+                        "!CartesianProduct", "!Expand"]),
     # vision batch packing: both windows key on (bucket, salt) — a
     # hot aspect bucket ranks as salt_n partitions, never one sort
     ("pack_image_batches", ["Window", "!SinglePartition",
