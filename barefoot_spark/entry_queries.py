@@ -1236,6 +1236,16 @@ def _batch_dims_pdf(n: int = 512):
         columns=["image_id", "w", "h"])
 
 
+def hex_salt_sql(key_expr: str, salt_n: int) -> str:
+    """DuckDB twin of datapipe.hex_salt_col: uniform salt from the
+    first two hex chars of a hash-hex expression (strpos mirrors
+    Spark's locate over the same alphabet)."""
+    hx = "'0123456789abcdef'"
+    return (f"(((strpos({hx}, substr({key_expr}, 1, 1)) - 1) * 16"
+            f" + (strpos({hx}, substr({key_expr}, 2, 1)) - 1))"
+            f" % {salt_n})")
+
+
 def q_mixture_sample(spark, sf_dir):
     """Training-mixture rebalance over documents: doc_id % 3 plays the
     source label (web/books/code); web keeps 25%, books 60%, code is
@@ -1249,11 +1259,12 @@ def q_mixture_sample(spark, sf_dir):
 
 
 def oracle_mixture_sample(sf_dir):
-    """Window twin with the identical md5 rank / ascii salt / per-salt
+    """Window twin with the identical md5 rank / hex salt / per-salt
     ceil math; the fractions are e0 float literals so DuckDB multiplies
     in float64 exactly like Spark (a DECIMAL 0.6 would round-trip
     0.6*n differently at ceil boundaries)."""
-    return """
+    salt = hex_salt_sql("md5(CAST(doc_id AS VARCHAR))", 8)
+    return f"""
         WITH d AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'web'
@@ -1262,8 +1273,7 @@ def oracle_mixture_sample(sf_dir):
             FROM documents),
         k AS (SELECT doc_id, source,
                      md5(CAST(doc_id AS VARCHAR)) AS key,
-                     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-                         % 8 AS salt
+                     {salt} AS salt
               FROM d),
         r AS (SELECT doc_id, source, key,
                      row_number() OVER (PARTITION BY source, salt
@@ -1288,13 +1298,14 @@ def q_pack_image_batches(spark, sf_dir):
 
 def oracle_pack_image_batches(sf_dir):
     """Window twin over the same (id, w, h) scalars as a VALUES table:
-    identical CASE bucket, identical ascii(md5)-derived salt, identical
+    identical CASE bucket, identical hex-salt derivation, identical
     rank/batch arithmetic (md5 of the UTF-8 id matches Spark's
     md5(encode(id)) hex-for-hex)."""
     pdf = _batch_dims_pdf(512)
     vals = ", ".join(
         f"('{r.image_id}', {int(r.w)}, {int(r.h)})"
         for r in pdf.itertuples(index=False))
+    salt = hex_salt_sql("md5(image_id)", 8)
     return f"""
         WITH img(image_id, w, h) AS (VALUES {vals}),
         b AS (SELECT image_id,
@@ -1302,8 +1313,7 @@ def oracle_pack_image_batches(sf_dir):
                           WHEN w * 3 > h * 4 THEN 'wide'
                           ELSE 'square' END AS bucket,
                      md5(image_id) AS key,
-                     CAST(ascii(substr(md5(image_id), 1, 1)) % 8
-                          AS INTEGER) AS salt
+                     CAST({salt} AS INTEGER) AS salt
               FROM img),
         r AS (SELECT image_id, bucket, salt,
                      row_number() OVER (PARTITION BY bucket, salt

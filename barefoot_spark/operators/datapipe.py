@@ -907,17 +907,19 @@ def pack_image_batches(images: DataFrame, batch_size: int = 8,
     Output per image: (image_id, bucket, salt, batch_idx, slot, full)
     — ``full`` is False for each salt's trailing remainder batch
     (fewer than batch_size members), which a loader can drop or
-    re-queue."""
+    re-queue. The salt (hex_salt_col) is exactly uniform when salt_n
+    divides 256. ``id_col`` must be unique (it is the table's key):
+    duplicate ids tie on both sort keys and the window winner becomes
+    arbitrary, voiding the reproducibility guarantee."""
     ar_bucket = (F.when(F.col("w") * 4 < F.col("h") * 3, "tall")
                  .when(F.col("w") * 3 > F.col("h") * 4, "wide")
                  .otherwise("square"))
     key = F.md5(F.encode(F.col(id_col), "utf-8"))
-    salt = (F.ascii(F.substring(key, 1, 1)) % salt_n).cast("int")
     w = Window.partitionBy("bucket", "salt").orderBy("_key", id_col)
     ranked = (images.select(F.col(id_col), F.col("w"), F.col("h"))
               .withColumn("bucket", ar_bucket)
               .withColumn("_key", key)
-              .withColumn("salt", salt)
+              .withColumn("salt", hex_salt_col("_key", salt_n))
               .withColumn("_rank", F.row_number().over(w))
               .withColumn("_n", F.count("*").over(
                   Window.partitionBy("bucket", "salt"))))
@@ -929,6 +931,23 @@ def pack_image_batches(images: DataFrame, batch_size: int = 8,
         ((F.col("_rank") - 1) % b).cast("long").alias("slot"),
         ((F.floor((F.col("_rank") - 1) / b) + 1) * b <= F.col("_n"))
         .alias("full"))
+
+
+_HEX = "0123456789abcdef"
+
+
+def hex_salt_col(key_col: str, salt_n: int):
+    """UNIFORM salt in [0, salt_n) from the first two hex chars of a
+    hash-hex column (by name) — exactly uniform when salt_n divides
+    256 (the usual power-of-two fan-outs). Chosen over ascii()%n
+    (non-uniform: hex chars are 0-9a-f, so ascii residues are lumpy
+    and for salt_n=16 some salts would be permanently EMPTY) and over
+    xxhash64 (no DuckDB twin); the oracle mirror is
+    entry_queries.hex_salt_sql."""
+    return F.expr(
+        f"(((locate(substring({key_col}, 1, 1), '{_HEX}') - 1) * 16"
+        f" + (locate(substring({key_col}, 2, 1), '{_HEX}') - 1))"
+        f" % {salt_n})").cast("int")
 
 
 def mixture_sample(documents: DataFrame, fractions: dict,
@@ -947,16 +966,19 @@ def mixture_sample(documents: DataFrame, fractions: dict,
     of one global sort (same discipline as tile_cap_sample). Sources
     missing from ``fractions`` default to 0.0 (dropped).
 
+    ``id_col`` must be unique (it is the table's key): duplicate ids
+    tie on both sort keys and the window winner becomes arbitrary,
+    voiding the reproducibility guarantee.
+
     Output: the kept rows as (id, source, rank-within-salt)."""
     frac = F.create_map(*[F.lit(x) for kv in fractions.items()
                           for x in kv])
     key = F.md5(F.encode(F.col(id_col).cast("string"), "utf-8"))
-    salt = F.pmod(F.ascii(F.substring(key, 1, 1)), F.lit(salt_n))
     w = Window.partitionBy(source_col, "_salt").orderBy("_key", id_col)
     wn = Window.partitionBy(source_col, "_salt")
     ranked = (documents.select(F.col(id_col), F.col(source_col))
               .withColumn("_key", key)
-              .withColumn("_salt", salt)
+              .withColumn("_salt", hex_salt_col("_key", salt_n))
               .withColumn("_rank", F.row_number().over(w))
               .withColumn("_n", F.count("*").over(wn))
               .withColumn("_f", F.coalesce(frac[F.col(source_col)],

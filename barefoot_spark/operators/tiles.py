@@ -226,7 +226,10 @@ def tile_cap_sample(frames: DataFrame, res: int = 8, cap: int = 32,
     bucket's top-``cap``, so the composition is EXACT — the same rows
     a single global window would pick, at a bounded per-key cost.
 
-    Output: the kept frames with (cell, rank) attached."""
+    Output: the kept frames with (cell, rank) attached. ``id_col``
+    must be unique (it is the table's key): duplicate ids tie on both
+    sort keys and the window winner becomes arbitrary, voiding the
+    reproducibility guarantee."""
     df = assign_tiles(frames, res=res)
     key = F.md5(F.encode(F.col(id_col), "utf-8"))
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n))

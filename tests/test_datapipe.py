@@ -1312,7 +1312,7 @@ def test_mixture_sample_deterministic_proportions(spark):
     b = pdf.copy()
     b["key"] = b["doc_id"].map(
         lambda i: hashlib.md5(str(i).encode()).hexdigest())
-    b["salt"] = b["key"].map(lambda k: ord(k[0]) % 4)
+    b["salt"] = b["key"].map(lambda k: int(k[:2], 16) % 4)
     b = b.sort_values(["source", "salt", "key", "doc_id"])
     b["rank"] = b.groupby(["source", "salt"]).cumcount() + 1
     b["n"] = b.groupby(["source", "salt"])["doc_id"].transform("size")

@@ -213,10 +213,16 @@ def test_cell_parent_expr_matches_numpy_kernel(spark):
     lat = rng.uniform(-89.9, 89.9, 20000)
     lon = rng.uniform(-179.9, 179.9, 20000)
     for rf, rc in [(15, 7), (8, 6), (12, 0), (15, 15)]:
-        fine = cells.latlng_to_cell(lat, lon, rf)
-        want = cells.cell_to_parent(fine, rc)
+        fine = np.unique(cells.latlng_to_cell(lat, lon, rf))
+        want = dict(zip(fine.tolist(),
+                        cells.cell_to_parent(fine, rc)
+                        .astype(np.int64).tolist()))
         df = spark.createDataFrame(pd.DataFrame({"cell": fine}))
-        got = (df.select(tiles.cell_parent_expr(df["cell"], rf, rc)
-                         .alias("p"))
-               .toPandas()["p"].to_numpy())
-        assert (np.sort(got) == np.sort(want.astype(np.int64))).all()
+        got = (df.select("cell",
+                         tiles.cell_parent_expr(df["cell"], rf, rc)
+                         .alias("p")).toPandas())
+        # row-aligned mapping check (not just multiset equality):
+        # every input cell maps to exactly the numpy kernel's parent
+        assert len(got) == len(fine)
+        assert all(want[c] == p
+                   for c, p in zip(got["cell"], got["p"]))

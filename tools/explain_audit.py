@@ -104,11 +104,11 @@ AUDITS = [
     # vision batch packing: both windows key on (bucket, salt) — a
     # hot aspect bucket ranks as salt_n partitions, never one sort
     ("pack_image_batches", ["Window", "!SinglePartition",
-                            "!CartesianProduct"]),
+                            "!CartesianProduct", "!Expand"]),
     # geographic balancing: two keyed windows — (cell, salt) then
     # cell over <= salt_n*cap survivors — never a single partition
     ("tile_cap_sample", ["Window", "!SinglePartition",
-                         "!CartesianProduct"]),
+                         "!CartesianProduct", "!Expand"]),
     # cross-modal consistency gate: one single-distinct agg per side
     # (two-level partial agg, no Expand), broadcast join-back
     ("caption_spam", ["HashAggregate", "BroadcastHashJoin", "!Expand",
