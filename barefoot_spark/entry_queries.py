@@ -1730,6 +1730,45 @@ def oracle_lsh_ann_topk(sf_dir):
     """
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the LSH-bucketed path
+    against the exact brute-force path, per query — the metric a
+    pipeline owner watches when tuning n_planes/probe_hamming. Both
+    sides are already oracle-checked operators; this entry
+    hash-checks the EVALUATION itself (join on (q_id, vec_id), count
+    hits, divide by k)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    exact = DP.brute_force_topk(emb, queries, k=10) \
+        .select("q_id", "vec_id")
+    approx = DP.lsh_bucket_topk(emb, queries, k=10, dim=64,
+                                bucket_impl="expr") \
+        .select("q_id", "vec_id", F.lit(1).alias("_hit"))
+    return (exact.join(approx, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(F.count("_hit").alias("n_hits"))
+            .select("q_id", "n_hits",
+                    F.round(F.col("n_hits") / 10.0, 6).alias("recall")))
+
+
+def oracle_ann_recall(sf_dir):
+    """Composition of the two already-green oracle chains as derived
+    tables (DuckDB allows WITH inside a subquery), joined per
+    (q_id, vec_id)."""
+    exact = oracle_ann_topk(sf_dir)
+    approx = oracle_lsh_ann_topk(sf_dir)
+    return f"""
+        SELECT e.q_id,
+               count(a.vec_id) AS n_hits,
+               round(count(a.vec_id) / 10.0e0, 6) AS recall
+        FROM ({exact}) e
+        LEFT JOIN ({approx}) a USING (q_id, vec_id)
+        GROUP BY e.q_id
+    """
+
+
 def q_cosine_pairs_exact(spark, sf_dir):
     """Exact embedding near-dup pairs (brute-force over a bounded slice
     — the parity path for cosine_near_dup's LSH variant, same pattern
@@ -2856,6 +2895,7 @@ QUERIES = {
     "candidate_sequence": q_candidate_sequence,
     "dbrcan_mod_events": q_dbrcan_mod_events,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ann_recall": q_ann_recall,
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_pairs_exact": q_cosine_pairs_exact,
     "x0001_match": q_x0001_match,
@@ -2977,6 +3017,7 @@ ORACLES = {
     "dbscan_clusters": oracle_dbscan_clusters,
     "cosine_near_dup": oracle_cosine_near_dup,
     "lsh_ann_topk": oracle_lsh_ann_topk,
+    "ann_recall": oracle_ann_recall,
     # viterbi_match / image_verify / media queries: non-SQL-expressible
     # (stateful kernel or binary codecs) -> rows-only check per the
     # driver contract

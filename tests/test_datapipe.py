@@ -1331,3 +1331,18 @@ def test_mixture_sample_deterministic_proportions(spark):
     got2 = (mixture_sample(df.repartition(7), fr, salt_n=4).toPandas()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2[got.columns])
+
+
+def test_ann_recall_entry(spark):
+    """The recall evaluation is bounded, self-consistent, and >= the
+    self-hit floor (each query always finds itself: same bucket,
+    cosine 1). Absolute recall is LOW at this corpus size — 12-bit
+    buckets over a few hundred vectors are finer than the corpus,
+    which is exactly the mistuning this evaluator exists to surface
+    (production sizes n_planes to the corpus, as cosine_near_dup's
+    auto-sizer does)."""
+    from barefoot_spark.entry_queries import q_ann_recall
+    got = q_ann_recall(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(got) == 5
+    assert ((got.recall >= 0.1) & (got.recall <= 1.0)).all()
+    assert (got.n_hits == (got.recall * 10).round()).all()
