@@ -1346,3 +1346,32 @@ def test_ann_recall_entry(spark):
     assert len(got) == 5
     assert ((got.recall >= 0.1) & (got.recall <= 1.0)).all()
     assert (got.n_hits == (got.recall * 10).round()).all()
+
+
+def test_hex_salt_uniform_and_cross_engine(spark):
+    """hex_salt_col is exactly uniform over salts when salt_n | 256,
+    matches int(md5_hex[:2], 16) % salt_n (the DuckDB twin's math),
+    and never leaves [0, salt_n)."""
+    import hashlib
+
+    import duckdb
+
+    from barefoot_spark.operators.datapipe import hex_salt_col
+
+    ids = [f"doc-{i}" for i in range(4096)]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = (df.select("id", F.md5(F.encode("id", "utf-8")).alias("_k"))
+           .select("id", hex_salt_col("_k", 8).alias("salt"))
+           .toPandas().set_index("id")["salt"])
+    want = {i: int(hashlib.md5(i.encode()).hexdigest()[:2], 16) % 8
+            for i in ids}
+    assert all(got[i] == want[i] for i in ids)
+    counts = got.value_counts()
+    assert sorted(counts.index) == list(range(8))
+    # md5 prefixes are uniform: no salt deviates far from n/8
+    assert counts.min() > 4096 / 8 * 0.8 and counts.max() < 4096 / 8 * 1.2
+    # DuckDB twin math agrees on a sample
+    from barefoot_spark.entry_queries import hex_salt_sql
+    frag = hex_salt_sql("md5('doc-7')", 8)
+    r = duckdb.sql(f"SELECT {frag} AS s").df()
+    assert int(r.s[0]) == want["doc-7"]
