@@ -1179,6 +1179,54 @@ def oracle_tile_cap_sample(sf_dir):
     """
 
 
+def q_curate_frames(spark, sf_dir):
+    """Composed geo-curation flagship: thinning gate -> geographic
+    cap -> per-frame disposition over the geotagged fixture (hot
+    downtown cell planted, scene-cut/static-run phash structure so
+    the thinning gate actually discriminates)."""
+    from .sources import images as IM
+    pdf = IM.synth_geo_frames_pdf(48, 32)
+    frames = spark.createDataFrame(pdf)
+    return (T.curate_frames(frames, min_interval=4, max_hamming=6,
+                            res=8, cap=8, salt_n=16)
+            .select("image_id", "traj_id",
+                    F.col("t").cast("long").alias("t"), "cell",
+                    "kept_thin", F.col("rank").cast("int").alias("rank"),
+                    "final_keep"))
+
+
+def oracle_curate_frames(sf_dir):
+    """Chained twin over the same VALUES fixture: the thinning
+    recursive CTE (frame_thinning_ctes — independent per-position
+    unroll vs Spark's per-trajectory kernel) feeds the single-window
+    md5 cap (independent vs the salted two-stage top-K), then one
+    disposition row per input frame."""
+    vals = _geo_frames_vals()
+    cell = T.cell_expr_sql("lat", "lon", 8)
+    thin = DP.frame_thinning_ctes(table="f", min_interval=4,
+                                  max_hamming=6)
+    return f"""
+        WITH RECURSIVE
+        f(traj_id, image_id, t, lat, lon, phash) AS (VALUES {vals}),
+        {thin},
+        base AS (SELECT image_id, traj_id, t, {cell} AS cell FROM f),
+        kc AS (SELECT b.image_id, b.cell,
+                      row_number() OVER (PARTITION BY b.cell
+                          ORDER BY md5(b.image_id), b.image_id) AS rnk
+               FROM base b JOIN walk w ON w.image_id = b.image_id
+               WHERE w.kept),
+        capd AS (SELECT image_id, rnk FROM kc WHERE rnk <= 8)
+        SELECT b.image_id, CAST(b.traj_id AS BIGINT) AS traj_id,
+               CAST(b.t AS BIGINT) AS t, b.cell,
+               w.kept AS kept_thin,
+               CAST(c.rnk AS INTEGER) AS rank,
+               (c.rnk IS NOT NULL) AS final_keep
+        FROM base b
+        JOIN walk w ON w.image_id = b.image_id
+        LEFT JOIN capd c ON c.image_id = b.image_id
+    """
+
+
 def q_caption_spam(spark, sf_dir):
     """Cross-modal consistency gate: boilerplate captions spanning
     many distinct images, and images (by phash) carrying conflicting
@@ -2929,6 +2977,7 @@ QUERIES = {
     "tile_image_rollup": q_tile_image_rollup,
     "tile_pyramid": q_tile_pyramid,
     "tile_cap_sample": q_tile_cap_sample,
+    "curate_frames": q_curate_frames,
     "caption_spam": q_caption_spam,
     "frame_thinning": q_frame_thinning,
     "mixture_sample": q_mixture_sample,
@@ -2991,6 +3040,7 @@ ORACLES = {
     "tile_image_rollup": oracle_tile_image_rollup,
     "tile_pyramid": oracle_tile_pyramid,
     "tile_cap_sample": oracle_tile_cap_sample,
+    "curate_frames": oracle_curate_frames,
     "caption_spam": oracle_caption_spam,
     "frame_thinning": oracle_frame_thinning,
     "mixture_sample": oracle_mixture_sample,

@@ -1044,17 +1044,17 @@ def frame_thinning(frames: DataFrame, traj_col="traj_id", time_col="t",
     return out.withColumnRenamed("_t", time_col)
 
 
-def frame_thinning_oracle_sql(table="frames", traj_col="traj_id",
-                              time_col="t", id_col="image_id",
-                              phash_col="phash", min_interval: int = 4,
-                              max_hamming: int = 6) -> str:
-    """Recursive-CTE DuckDB twin of frame_thinning: the keep/reference
-    recurrence unrolled over row positions per trajectory (an
-    independent formulation of the same sequential scan)."""
+def frame_thinning_ctes(table="frames", traj_col="traj_id",
+                        time_col="t", id_col="image_id",
+                        phash_col="phash", min_interval: int = 4,
+                        max_hamming: int = 6) -> str:
+    """The thinning recurrence as reusable CTE bodies (``s`` and
+    ``walk``) for splicing into a larger WITH RECURSIVE chain — same
+    convention as entry_queries._minhash_ctes/_closure_ctes. The
+    standalone twin below wraps these."""
     drop = (f"(s.{time_col} - w.last_t < {min_interval} AND "
             f"bit_count(xor(s.{phash_col}, w.last_ph)) <= {max_hamming})")
-    return f"""
-        WITH RECURSIVE s AS (
+    return f"""s AS (
             SELECT {traj_col}, {id_col}, {time_col}, {phash_col},
                    row_number() OVER (PARTITION BY {traj_col}
                        ORDER BY {time_col}, {id_col}) AS pos
@@ -1074,7 +1074,20 @@ def frame_thinning_oracle_sql(table="frames", traj_col="traj_id",
                         ELSE w.last_ph END
             FROM walk w JOIN s ON s.{traj_col} = w.{traj_col}
                               AND s.pos = w.pos + 1
-        )
+        )"""
+
+
+def frame_thinning_oracle_sql(table="frames", traj_col="traj_id",
+                              time_col="t", id_col="image_id",
+                              phash_col="phash", min_interval: int = 4,
+                              max_hamming: int = 6) -> str:
+    """Recursive-CTE DuckDB twin of frame_thinning: the keep/reference
+    recurrence unrolled over row positions per trajectory (an
+    independent formulation of the same sequential scan)."""
+    ctes = frame_thinning_ctes(table, traj_col, time_col, id_col,
+                               phash_col, min_interval, max_hamming)
+    return f"""
+        WITH RECURSIVE {ctes}
         SELECT {traj_col}, {id_col}, {time_col}, kept FROM walk
     """
 

@@ -242,6 +242,43 @@ def tile_cap_sample(frames: DataFrame, res: int = 8, cap: int = 32,
             .filter(F.col("rank") <= cap).drop("_salt"))
 
 
+def curate_frames(frames: DataFrame, min_interval: int = 4,
+                  max_hamming: int = 6, res: int = 8, cap: int = 32,
+                  salt_n: int = 16, id_col: str = "image_id") \
+        -> DataFrame:
+    """The composed GEO-curation flagship over the geotagged
+    trajectory frame table — the image-table twin of curate_images
+    for the spatial axis: temporal thinning (drop near-identical
+    consecutive frames, the reference's sample-thinning gate) ->
+    geographic balancing (cap the downtown cell via the exact salted
+    two-stage top-K) -> one hash-checkable disposition row per INPUT
+    frame: (image_id, traj_id, t, cell, kept_thin, rank, final_keep).
+    ``rank`` is the within-cell md5 rank for frames that survived
+    both gates, NULL otherwise; ``final_keep`` is never NULL.
+
+    100-TB shape: the thinning kernel shuffles once on traj_id (one
+    trajectory = one task, bytes pruned first); the cap stage ranks
+    the THINNED survivor set, not the corpus; the disposition joins
+    key on the table's unique id (AQE-handled equi-joins of narrow
+    projections)."""
+    from . import datapipe as DP
+    base = assign_tiles(frames, res=res).select(
+        id_col, "traj_id", "t", "cell")
+    thin = DP.frame_thinning(frames, min_interval=min_interval,
+                             max_hamming=max_hamming, id_col=id_col)
+    kept = (thin.filter(F.col("kept")).select(id_col)
+            .join(frames, id_col))
+    capped = tile_cap_sample(kept, res=res, cap=cap, salt_n=salt_n,
+                             id_col=id_col)
+    return (base
+            .join(thin.select(id_col, F.col("kept").alias("kept_thin")),
+                  id_col)
+            .join(capped.select(id_col, "rank"), id_col, "left")
+            .select(id_col, "traj_id", "t", "cell", "kept_thin",
+                    "rank",
+                    F.col("rank").isNotNull().alias("final_keep")))
+
+
 def assign_tiles(df: DataFrame, lat="lat", lon="lon", res: int = 15,
                  out="cell", use_udf: bool = False,
                  parent_res: int | None = None) -> DataFrame:

@@ -226,3 +226,28 @@ def test_cell_parent_expr_matches_numpy_kernel(spark):
         assert len(got) == len(fine)
         assert all(want[c] == p
                    for c, p in zip(got["cell"], got["p"]))
+
+
+def test_curate_frames_composition(spark):
+    """One disposition row per input frame; gates compose exactly:
+    final_keep == survived thinning AND within the per-cell cap of
+    the THINNED set; frames dropped by thinning never carry a rank."""
+    pdf = IM.synth_geo_frames_pdf(24, 16)
+    frames = spark.createDataFrame(pdf)
+    got = (tiles.curate_frames(frames, min_interval=4, max_hamming=6,
+                               res=8, cap=5, salt_n=4)
+           .toPandas().set_index("image_id").sort_index())
+    assert len(got) == len(pdf) and got.index.is_unique
+    # thinning column equals the standalone operator
+    from barefoot_spark.operators.datapipe import frame_thinning
+    thin = (frame_thinning(frames).toPandas()
+            .set_index("image_id")["kept"].sort_index())
+    assert (got["kept_thin"] == thin).all()
+    # cap column equals the standalone cap over the thinned survivors
+    kept = spark.createDataFrame(
+        pdf[pdf["image_id"].isin(thin[thin].index)])
+    capped = (tiles.tile_cap_sample(kept, res=8, cap=5, salt_n=4)
+              .toPandas().set_index("image_id")["rank"])
+    assert (got.loc[capped.index, "rank"] == capped).all()
+    assert got["final_keep"].equals(got["rank"].notna())
+    assert not got.loc[~got["kept_thin"], "rank"].notna().any()

@@ -105,6 +105,12 @@ AUDITS = [
     # hot aspect bucket ranks as salt_n partitions, never one sort
     ("pack_image_batches", ["Window", "!SinglePartition",
                             "!CartesianProduct", "!Expand"]),
+    # geo-curation flagship: thinning kernel is one Arrow group-map
+    # per trajectory, cap windows key on (cell, salt), disposition
+    # joins are id-keyed — nothing quadratic, no global sort
+    ("curate_frames", ["FlatMapGroupsInPandas", "Window",
+                       "!SinglePartition", "!CartesianProduct",
+                       "!Expand"]),
     # geographic balancing: two keyed windows — (cell, salt) then
     # cell over <= salt_n*cap survivors — never a single partition
     ("tile_cap_sample", ["Window", "!SinglePartition",
