@@ -1725,7 +1725,7 @@ def _bucket_sql(planes, vec: str) -> str:
     chained `+` share the exact IEEE op order (0.0 + x1 == x1), so
     the sign test is bit-identical in both engines even when a dot
     lands within an ulp of zero — list_dot_product's fused
-    accumulation can differ in the last ulp (see _dot_lit_expr) and
+    accumulation can differ in the last ulp (see _fold_dot_sql) and
     would make the bucket bit engine-dependent exactly there."""
     def dot(p):
         return " + ".join(f"{vec}[{j + 1}] * {float(x)!r}"
@@ -2114,7 +2114,7 @@ def _pq_codebooks():
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantization ADC top-k (m=8 subspaces, ks=16 codewords
     = one 8-byte code per vector): encode in whole-stage codegen
-    (explicit left-assoc element sums — see datapipe._dot_lit_expr for
+    (fold-dot element sums — see datapipe._fold_dot_sql for
     why not F.aggregate), per-query LUT on the broadcast side, score =
     m array look-ups per scanned row. Fully DuckDB-oracle-checked: the
     oracle mirrors the same left-assoc arithmetic so encode argmins and
@@ -2133,7 +2133,7 @@ def q_pq_ann_topk(spark, sf_dir):
 
 def _pq_dot_sql(vec: str, base: int, cent) -> str:
     """Left-assoc chained sum `vec[base+1]*c0 + ...` — the SQL twin of
-    datapipe._dot_lit_expr (same IEEE op order, so bit-identical; NOT
+    datapipe._fold_dot_sql (same IEEE op order, so bit-identical; NOT
     list_dot_product, whose fused accumulation differs in the last ulp
     and could flip an encode argmin)."""
     return " + ".join(f"{vec}[{base + j + 1}] * {repr(float(c))}"
