@@ -2933,6 +2933,48 @@ def q_image_verify(spark, sf_dir):
                       "pixel_ok", "caption_ok", "phash_ok")
 
 
+# ---------------------------------------------------------------------------
+# pinned VALUES-golden oracles for the kernel/media entries
+# ---------------------------------------------------------------------------
+
+def _golden_oracle(name: str):
+    """Literal VALUES-table oracle for an entry whose semantics have no
+    DuckDB re-derivation (stateful HMM matcher, codec kernels). The
+    expected rows live in barefoot_spark/_goldens.py (generated once by
+    tools/pin_goldens.py from the deterministic seeded fixtures —
+    MatcherTest.java:371-423-style goldens, corridor x0001-001, synth
+    media; parallelism stability cross-checked at local[8] vs
+    local[32]). Promotes the driver's rows-only check to a full
+    row+schema+value-hash gate. Float literals carry an e0 exponent so
+    DuckDB parses them as DOUBLE via strtod — an exact repr round-trip,
+    never a DECIMAL re-conversion."""
+    def _build(sf_dir: str) -> str:
+        from ._goldens import GOLDENS
+        g = GOLDENS[name]
+
+        def lit(v, t):
+            if v is None:
+                return "NULL"
+            if t == "DOUBLE":
+                r = repr(float(v))
+                return r if ("e" in r or "E" in r) else r + "e0"
+            if t == "BIGINT":
+                return str(int(v))
+            if t == "BOOLEAN":
+                return "TRUE" if v else "FALSE"
+            return "'" + str(v).replace("'", "''") + "'"
+
+        rows = ",\n".join(
+            "(" + ", ".join(lit(v, t) for v, t in zip(r, g["types"])) + ")"
+            for r in g["rows"])
+        sel = ", ".join(f"CAST(c{i} AS {t}) AS {c}"
+                        for i, (c, t) in enumerate(zip(g["columns"],
+                                                       g["types"])))
+        tcols = ", ".join(f"c{i}" for i in range(len(g["columns"])))
+        return f"SELECT {sel} FROM (VALUES\n{rows}\n) AS t({tcols})"
+    return _build
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_counts": q_tile_counts,
@@ -3068,7 +3110,16 @@ ORACLES = {
     "cosine_near_dup": oracle_cosine_near_dup,
     "lsh_ann_topk": oracle_lsh_ann_topk,
     "ann_recall": oracle_ann_recall,
-    # viterbi_match / image_verify / media queries: non-SQL-expressible
-    # (stateful kernel or binary codecs) -> rows-only check per the
-    # driver contract
+    # kernel/media entries: non-SQL-expressible semantics (stateful HMM,
+    # binary codecs), but deterministic seeded outputs -> pinned
+    # VALUES-golden oracles (full hash gate; see _golden_oracle)
+    "viterbi_match": _golden_oracle("viterbi_match"),
+    "x0001_match": _golden_oracle("x0001_match"),
+    "route_geojson": _golden_oracle("route_geojson"),
+    "video_frame_sample": _golden_oracle("video_frame_sample"),
+    "video_phash_dedup": _golden_oracle("video_phash_dedup"),
+    "image_resize": _golden_oracle("image_resize"),
+    "audio_features": _golden_oracle("audio_features"),
+    "image_features": _golden_oracle("image_features"),
+    "image_verify": _golden_oracle("image_verify"),
 }
