@@ -329,7 +329,13 @@ def minhash_write_index(documents: DataFrame, path: str,
     `<path>/sigs` for the verify stage), so per-batch probes never
     re-run the signature UDF over the 10^11-row corpus.
     minhash_join, by contrast, re-signs the index side on every call
-    — correct, but the wrong cost model for a daily ingest."""
+    — correct, but the wrong cost model for a daily ingest.
+
+    The build parameters are persisted with the index (`<path>/params`,
+    a one-row parquet — FS-agnostic like every other artifact) and
+    validated by minhash_probe_index: a probe with a different
+    num_perm/bands/shingle_k/band_key would silently produce empty or
+    wrong candidate sets — a false-negative dedup pass."""
     rows_per_band = num_perm // bands
     udf = minhash_signature_udf(num_perm, shingle_k)
     if band_key == "poly":
@@ -351,6 +357,11 @@ def minhash_write_index(documents: DataFrame, path: str,
      .select("index_id", "bb.band", "bb.bucket")
      .write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands"))
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    spark = documents.sparkSession
+    (spark.createDataFrame(
+        [(int(num_perm), int(bands), int(shingle_k), str(band_key))],
+        "num_perm int, bands int, shingle_k int, band_key string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/params"))
 
 
 def minhash_probe_index(spark, path: str, new_docs: DataFrame,
@@ -370,7 +381,28 @@ def minhash_probe_index(spark, path: str, new_docs: DataFrame,
     100-TB shape: per batch, corpus-sized work is one equi-join on the
     persisted band table plus a semi-joined read of the candidate
     members' signature rows; both are I/O-bound scans of committed
-    parquet, zero Python over the corpus."""
+    parquet, zero Python over the corpus.
+
+    Raises ValueError when the probe parameters disagree with the
+    persisted `<path>/params` (a mismatched num_perm/bands/shingle_k/
+    band_key — e.g. hash vs poly band keys — would silently generate
+    empty or wrong candidate sets). Indexes written before params were
+    recorded are accepted as-is."""
+    try:
+        prow = spark.read.parquet(f"{path}/params").collect()
+    except Exception:
+        prow = []       # pre-params index: nothing to validate against
+    if prow:
+        got = (prow[0]["num_perm"], prow[0]["bands"],
+               prow[0]["shingle_k"], prow[0]["band_key"])
+        want = (num_perm, bands, shingle_k, band_key)
+        if got != want:
+            raise ValueError(
+                f"minhash index at {path} was built with (num_perm, "
+                f"bands, shingle_k, band_key)={got}, probe requested "
+                f"{want}; mismatched parameters make band buckets / "
+                f"signature comparisons silently wrong — rebuild the "
+                f"index or probe with the stored parameters")
     rows_per_band = num_perm // bands
     udf = minhash_signature_udf(num_perm, shingle_k)
     if band_key == "poly":

@@ -88,8 +88,17 @@ def thin_frames_stream(frames: DataFrame, min_interval: int = 4,
         else:
             have, last_t, last_ph = False, 0, 0
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["t", "image_id"])
+        # Concatenate the group's Arrow chunks BEFORE sorting: a
+        # trajectory whose micro-batch slice spans multiple chunks
+        # (arrow.maxRecordsPerBatch, or shuffle interleaving from a
+        # multi-partition source) must fold in GLOBAL time order, or
+        # in-order frames get misflagged by the out-of-order reject.
+        # Per-trajectory-per-batch memory is already the operating
+        # assumption of the batch kernel.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) \
+                .sort_values(["t", "image_id"])
             for r in pdf.itertuples(index=False):
                 t, ph = int(r.t), int(r.phash)
                 if have and t < last_t:

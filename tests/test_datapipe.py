@@ -1221,6 +1221,24 @@ def test_minhash_index_probe_matches_live_join(spark, tmp_path):
     assert re.search(r"Location:.*mh_index/bands", plan)
     assert re.search(r"Location:.*mh_index/sigs", plan)
 
+    # a probe with mismatched build parameters must REFUSE, not
+    # silently return empty/wrong candidates (the persisted params
+    # row is the contract)
+    for bad_kw in ({"num_perm": 128}, {"bands": 8},
+                   {"shingle_k": 3}, {"band_key": "poly"}):
+        with pytest.raises(ValueError, match="was built with"):
+            D.minhash_probe_index(spark, path, new,
+                                  jaccard_threshold=0.3, **bad_kw)
+
+    # an index written before params were recorded is accepted as-is
+    import shutil
+    shutil.rmtree(str(tmp_path / "mh_index" / "params"))
+    legacy = D.minhash_probe_index(spark, path, new,
+                                   jaccard_threshold=0.3).toPandas()
+    lp = {(r.new_id, r.index_id): r.est_jaccard
+          for r in legacy.itertuples(index=False)}
+    assert lp == wp
+
 
 def test_decontaminate_planted_overlap(spark):
     """Docs sharing an n-gram with the benchmark are flagged with

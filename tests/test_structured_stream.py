@@ -215,6 +215,54 @@ def test_thin_frames_stream_matches_batch(spark, tmp_path):
     assert 0 < got.kept.sum() < len(got)
 
 
+def test_thin_frames_stream_multichunk_group(spark, tmp_path):
+    """A trajectory whose micro-batch slice spans MULTIPLE Arrow chunks
+    (tiny arrow.maxRecordsPerBatch + scrambled multi-partition input)
+    must still fold in global time order: the kernel concatenates the
+    chunk iterator before sorting, otherwise chunk-local sorts would
+    misflag in-order frames via the out-of-order reject."""
+    from barefoot_spark.operators import datapipe as D
+    from barefoot_spark.sources import images as IM
+    from barefoot_spark.streaming import ingest as IG
+
+    pdf = IM.synth_frame_stream_pdf(4, 24)
+    want = (D.frame_thinning(spark.createDataFrame(pdf))
+            .toPandas().set_index("image_id").sort_index())
+
+    in_dir = str(tmp_path / "mc_in")
+    ckpt = str(tmp_path / "mc_ckpt")
+    os.makedirs(in_dir)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        schema = "traj_id long, image_id string, t long, phash long"
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = IG.thin_frames_stream(stream)
+        q = (out.writeStream.format("memory").queryName("thinned_mc")
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        # one write of ALL frames, time-scrambled across 4 partitions:
+        # each trajectory's 24-row slice arrives as >=3 chunks of 8,
+        # interleaved by the groupBy shuffle
+        scrambled = pdf.sample(frac=1.0, random_state=7)
+        (spark.createDataFrame(scrambled).repartition(4)
+         .write.mode("append").parquet(in_dir))
+        q.processAllAvailable()
+        got = spark.sql("select * from thinned_mc").toPandas() \
+            .set_index("image_id").sort_index()
+        q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
+
+    assert len(got) == len(pdf)
+    assert (got.kept == want.kept).all()
+
+
 def test_cell_window_counts_stream(spark, tmp_path):
     """Streaming per-cell windowed counts: windows finalize when the
     watermark passes, late frames beyond the delay are dropped, and
