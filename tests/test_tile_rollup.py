@@ -2,6 +2,7 @@
 brute-force pandas twins + the planted hot-cell / spam fixtures."""
 
 import numpy as np
+import pytest
 import pandas as pd
 
 from barefoot_spark import cells
@@ -111,6 +112,74 @@ def test_tile_pyramid_reliable_mode_resumes(spark, tmp_path):
             .toPandas().sort_values(["res", "cell"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(rel, rel2)
+
+
+def test_tile_pyramid_crash_mid_dag_resumes(spark, tmp_path):
+    """Fault injection on the composed multi-stage DAG: the pyramid is
+    killed mid-run (after the fine-level stats/trajs/scenes stages
+    committed, while building the first coarse level), then re-run
+    against the same checkpoint base with a fresh runner — the resume
+    must SKIP every already-committed stage (zero rebuilds of the fine
+    level) and the final rows must equal an uninterrupted run's."""
+    from barefoot_spark.ckpt import StageRunner
+
+    class CrashingRunner(StageRunner):
+        """Raises on a chosen stage name (simulating a driver/executor
+        loss mid-job) and records which stages were actually BUILT
+        (vs resumed from a committed output)."""
+
+        def __init__(self, spark_, base, crash_on=None):
+            super().__init__(spark_, base)
+            self.crash_on = crash_on
+            self.built = []
+
+        def run_stage(self, stage, build):
+            if stage == self.crash_on:
+                raise RuntimeError(f"injected crash at {stage}")
+            if not self.is_complete(stage):
+                self.built.append(stage)
+            return super().run_stage(stage, build)
+
+    pdf = IM.synth_geo_frames_pdf(12, 8)
+    frames = spark.createDataFrame(pdf)
+    base = str(tmp_path / "pyr_crash")
+
+    # attempt 1: dies while materializing the first coarse stage;
+    # the three fine-level stages have already committed
+    r1 = CrashingRunner(spark, base, crash_on="pyramid:stats6")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tiles.tile_rollup_pyramid(frames, fine_res=8, coarse_levels=(6,),
+                                  mode="reliable", runner=r1)
+    assert set(r1.built) == {"pyramid:stats8", "pyramid:trajs8",
+                             "pyramid:scenes8"}
+    for st in r1.built:
+        assert r1.is_complete(st)
+
+    # attempt 2 (fresh runner = restarted job): completes, rebuilding
+    # ONLY the stages the crash lost
+    r2 = CrashingRunner(spark, base)
+    resumed = (tiles.tile_rollup_pyramid(frames, fine_res=8,
+                                         coarse_levels=(6,),
+                                         mode="reliable", runner=r2)
+               .toPandas().sort_values(["res", "cell"])
+               .reset_index(drop=True))
+    assert set(r2.built) == {"pyramid:stats6", "pyramid:trajs6",
+                             "pyramid:scenes6"}
+
+    # identical final rows vs an uninterrupted run in a clean base
+    clean_runner = StageRunner(spark, str(tmp_path / "pyr_clean"))
+    clean = (tiles.tile_rollup_pyramid(frames, fine_res=8,
+                                       coarse_levels=(6,),
+                                       mode="reliable",
+                                       runner=clean_runner)
+             .toPandas().sort_values(["res", "cell"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(resumed, clean[resumed.columns])
+
+    # and the per-stage lineage checksums agree between the resumed
+    # and clean bases (order-insensitive xxhash64 over partitions)
+    for st in ("pyramid:stats8", "pyramid:stats6"):
+        assert r2.stage_checksum(st) == clean_runner.stage_checksum(st)
 
 
 def test_caption_consistency_matches_brute_force(spark):
