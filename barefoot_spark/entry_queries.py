@@ -2037,16 +2037,25 @@ def oracle_dbscan_clusters(sf_dir):
     pairwise haversine eps-graph (with a generous bbox prefilter — 120 m
     is < 0.0011 deg lat / < 0.0017 deg lon at lat 48, bounds 0.002/
     0.0025 keep a 1.5x margin so no true edge is cut), core = deg+1 >=
-    min_pts, components of the core subgraph via recursive-CTE
-    reachability with min-label (vs Spark's large-star/small-star), and
-    border points attached to the MIN core-neighbor label exactly as
-    the operator's step 4. Noise -> -1."""
+    min_pts, components of the core subgraph via two rounds of star
+    contraction (each vertex merges into its 1-hop min — exact, since
+    contraction along edges preserves components, and the component
+    min always survives because it is smaller than all its neighbors)
+    followed by recursive-CTE min-label reachability on the ~100x
+    smaller contracted graph (still an independent algorithm vs
+    Spark's alternating large-star/small-star), and border points
+    attached to the MIN core-neighbor label exactly as the operator's
+    step 4. Noise -> -1. The contraction + MATERIALIZED fences matter:
+    naive all-pairs reachability on the raw eps-graph (316k edges,
+    avg degree ~105 at sf0.01) is quadratic per component and DuckDB
+    re-inlines un-materialized CTEs per reference inside recursion
+    (233 s -> ~1 s)."""
     hav = _hav_sql("a.py", "a.px", "b.py", "b.px")
     return f"""
         WITH RECURSIVE
         pts AS (SELECT point_id, px, py FROM ({POINTS_SQL_BODY})
                 WHERE point_id % 5 = 0),
-        e AS (SELECT a.point_id AS a, b.point_id AS b
+        e AS MATERIALIZED (SELECT a.point_id AS a, b.point_id AS b
               FROM pts a JOIN pts b
                 ON a.point_id <> b.point_id
                AND abs(a.py - b.py) <= 0.002e0
@@ -2056,14 +2065,33 @@ def oracle_dbscan_clusters(sf_dir):
         core AS (SELECT p.point_id AS v FROM pts p
                  LEFT JOIN deg d ON d.a = p.point_id
                  WHERE coalesce(d.nbrs, 0) + 1 >= 4),
-        ce AS (SELECT e.a, e.b FROM e
+        ce AS MATERIALIZED (SELECT e.a, e.b FROM e
                JOIN core c1 ON c1.v = e.a JOIN core c2 ON c2.v = e.b),
+        l1 AS MATERIALIZED (
+            SELECT c.v, least(c.v, coalesce(min(u.b), c.v)) AS l
+            FROM core c LEFT JOIN ce u ON u.a = c.v GROUP BY c.v),
+        ce1 AS MATERIALIZED (
+            SELECT DISTINCT la.l AS a, lb.l AS b
+            FROM ce JOIN l1 la ON la.v = ce.a JOIN l1 lb ON lb.v = ce.b
+            WHERE la.l <> lb.l),
+        l2 AS MATERIALIZED (
+            SELECT n.v, least(n.v, coalesce(min(u.b), n.v)) AS l
+            FROM (SELECT DISTINCT l AS v FROM l1) n
+            LEFT JOIN ce1 u ON u.a = n.v GROUP BY n.v),
+        ce2 AS MATERIALIZED (
+            SELECT DISTINCT la.l AS a, lb.l AS b
+            FROM ce1 JOIN l2 la ON la.v = ce1.a JOIN l2 lb ON lb.v = ce1.b
+            WHERE la.l <> lb.l),
         reach(v, lbl) AS (
-            SELECT v, v FROM core
+            SELECT l, l FROM (SELECT DISTINCT l FROM l2)
             UNION
-            SELECT u.b, r.lbl FROM reach r JOIN ce u ON u.a = r.v
+            SELECT u.b, r.lbl FROM reach r JOIN ce2 u ON u.a = r.v
+            WHERE r.lbl < u.b
         ),
-        comp AS (SELECT v, min(lbl) AS component FROM reach GROUP BY v),
+        comp2 AS (SELECT v, min(lbl) AS c FROM reach GROUP BY v),
+        comp AS (SELECT l1.v, c2.c AS component
+                 FROM l1 JOIN l2 ON l2.v = l1.l
+                 JOIN comp2 c2 ON c2.v = l2.l),
         border AS (SELECT e.a, min(c.component) AS blabel
                    FROM e JOIN comp c ON c.v = e.b GROUP BY e.a)
         SELECT p.point_id,
@@ -2355,7 +2383,7 @@ WITH src AS (
     SELECT g, r, count(*) AS cnt FROM res GROUP BY g, r
 ), ext AS (   -- 3-copy ring unroll for neighbor counting
     SELECT g, r + s AS re, cnt FROM u, (VALUES (0.0), (1.0), (2.0)) t(s)
-), ne AS (    -- eps-neighbor count (inclusive, eps+1e-10 tolerant)
+), ne AS MATERIALIZED (    -- eps-neighbor count (inclusive, eps+1e-10 tolerant)
     SELECT a.g, a.r,
            (SELECT sum(b.cnt) FROM ext b WHERE b.g = a.g
              AND b.re >= (a.r + 1.0) - {tol}
@@ -2381,7 +2409,7 @@ WITH src AS (
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS chain_raw
     FROM chains0
-), corelab AS ( -- wrap merge: last chain joins chain 1 when the ring closes
+), corelab AS MATERIALIZED ( -- wrap merge: last chain joins chain 1 when the ring closes
     SELECT g, m, r,
            CASE WHEN chain_raw = max(chain_raw) OVER (PARTITION BY g, m)
                  AND max(chain_raw) OVER (PARTITION BY g, m) > 1
@@ -2432,7 +2460,7 @@ WITH src AS (
                 THEN (r + 1.0) - max(r) OVER (PARTITION BY g, m, lab)
                 ELSE r - lag(r) OVER w END AS gap
     FROM memlab WINDOW w AS (PARTITION BY g, m, lab ORDER BY r)
-), pick AS (  -- first maximal eligible gap (record-scan closed form)
+), pick AS MATERIALIZED (  -- first maximal eligible gap (record-scan closed form)
     SELECT g, m, lab, r, prev, i, n_res,
            (gap - {e}) >= {e10} AS elig,
            max(CASE WHEN (gap - {e}) >= {e10} THEN gap END)
@@ -2443,7 +2471,7 @@ WITH src AS (
     SELECT g, m, lab, n_res,
            min(CASE WHEN elig AND gap >= dmax - {e10} THEN i END) AS sel_i
     FROM pick GROUP BY g, m, lab, n_res
-), bsel AS (
+), bsel AS MATERIALIZED (
     SELECT b.g, b.m, b.lab, b.n_res, b.sel_i,
            CASE WHEN b.n_res = 1 THEN (SELECT round(p.r * 1e10) / 1e10
                                        FROM pick p WHERE p.g = b.g
@@ -2473,7 +2501,7 @@ WITH src AS (
 ), ends AS (
     SELECT g, round(e, 10) AS x, min(m // 2) AS v FROM bsel
     WHERE e IS NOT NULL GROUP BY g, round(e, 10)
-), fn AS (
+), fn AS MATERIALIZED (
     SELECT st.g, st.x, greatest(f.floor, st.v) AS minimum
     FROM starts st JOIN floors f ON f.g = st.g
     UNION ALL
@@ -2568,7 +2596,7 @@ def _minhash_ctes(table="documents", k=5, num_perm=64, bands=16,
                      1, length(d.text) - {k - 1})) AS i) g
         ), hu AS (
             SELECT DISTINCT doc_id, ({terms}) % {m64} AS hv FROM pos
-        ), sig AS (
+        ), sig AS MATERIALIZED (
             SELECT doc_id, p,
                    min(((a * hv) % {m64} + b) % {m64} % {mp}) AS s
             FROM hu, params GROUP BY doc_id, p
@@ -2582,7 +2610,7 @@ def _minhash_ctes(table="documents", k=5, num_perm=64, bands=16,
             FROM bk l JOIN bk r
               ON l.band = r.band AND l.bucket = r.bucket
              AND l.doc_id < r.doc_id
-        ), est AS (
+        ), est AS MATERIALIZED (
             SELECT p.left_id, p.right_id,
                    sum(CASE WHEN ls.s = rs.s THEN 1 ELSE 0 END)
                        / CAST({num_perm} AS DOUBLE) AS est_jaccard
@@ -2604,7 +2632,7 @@ def _closure_ctes(pairs_cte: str, left: str = "left_id",
     sizes = """,
         sizes AS (SELECT canonical, count(*) AS sz FROM comp
                   GROUP BY canonical)""" if with_sizes else ""
-    return f"""und AS (SELECT {left} AS a, {right} AS b FROM {pairs_cte}
+    return f"""und AS MATERIALIZED (SELECT {left} AS a, {right} AS b FROM {pairs_cte}
                 UNION SELECT {right}, {left} FROM {pairs_cte}),
         vs AS (SELECT DISTINCT a AS v FROM und),
         reach(v, lbl) AS (
