@@ -1941,7 +1941,16 @@ def repetition_stats(documents: DataFrame, text_col="text",
     Ties on the top word break to the lexicographically smallest
     (deterministic; mirrored in the DuckDB twin)."""
     t = F.col(text_col)
-    words = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0)
+    # materialize the tokenized array ONCE: the bigram expression below
+    # references it O(words) times inside higher-order lambdas, where
+    # Catalyst's common-subexpression elimination does not reach — an
+    # inline regexp_extract_all would re-run the regex per reference,
+    # turning a linear scan quadratic on long documents
+    documents = documents.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0)
+        .alias("_words"))
+    words = F.col("_words")
     # word bigrams; Spark's sequence(1, 0) DESCENDS, so guard size<2
     bigrams = F.when(
         F.size(words) >= 2,
