@@ -236,18 +236,24 @@ def test_thin_frames_stream_multichunk_group(spark, tmp_path):
                          None)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
     try:
+        # write ALL frames BEFORE starting the query, time-scrambled
+        # across 4 partitions: batch 0 then contains every file, so
+        # each trajectory's 24-row slice arrives in ONE micro-batch as
+        # >=3 Arrow chunks of 8, interleaved by the groupBy shuffle.
+        # (Starting the query first raced the 4-part write: a trigger
+        # could list a partial file set, split a trajectory across
+        # micro-batches out of time order, and the out-of-order reject
+        # would then LEGITIMATELY flag those frames — the multi-chunk
+        # property under test needs a single batch.)
+        scrambled = pdf.sample(frac=1.0, random_state=7)
+        (spark.createDataFrame(scrambled).repartition(4)
+         .write.mode("append").parquet(in_dir))
         schema = "traj_id long, image_id string, t long, phash long"
         stream = spark.readStream.schema(schema).parquet(in_dir)
         out = IG.thin_frames_stream(stream)
         q = (out.writeStream.format("memory").queryName("thinned_mc")
              .option("checkpointLocation", ckpt)
              .outputMode("append").start())
-        # one write of ALL frames, time-scrambled across 4 partitions:
-        # each trajectory's 24-row slice arrives as >=3 chunks of 8,
-        # interleaved by the groupBy shuffle
-        scrambled = pdf.sample(frac=1.0, random_state=7)
-        (spark.createDataFrame(scrambled).repartition(4)
-         .write.mode("append").parquet(in_dir))
         q.processAllAvailable()
         got = spark.sql("select * from thinned_mc").toPandas() \
             .set_index("image_id").sort_index()
