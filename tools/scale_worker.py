@@ -10,7 +10,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
 from pyspark.sql import functions as F
@@ -39,7 +40,12 @@ def main():
     idx_bc = spark.sparkContext.broadcast(idx)
     n_tile = int(12_000_000_000 * sf)
     n_probe = int(150_000_000 * sf)
-    n_traces = max(8, int(10_000 * sf))
+    # viterbi sized for the strong-scaling regime: at the previous
+    # 10k*sf (1000 traces at sf0.1) the hi level finished in ~2.5s of
+    # which a fitted ~0.9s was fixed per-query cost (scheduling, python
+    # worker spin-up, checksum agg), capping the measurable efficiency
+    # at ~0.77 regardless of engine scaling; 4x the traces amortizes it
+    n_traces = max(8, int(40_000 * sf))
     lat_lo, lat_hi = 48.0, 48.0 + grid_n * 0.005
     lon_lo, lon_hi = 11.0, 11.0 + grid_n * 0.005
 
@@ -122,12 +128,28 @@ def main():
     results["stages"]["arrow_pipe_floor"] = {"rows": n_probe, "sec": round(dt, 3),
                                              "rows_per_sec": round(n_probe / dt)}
 
-    # 3. Viterbi match
-    geotags = SS.synth_traces(idx, n_traces=n_traces, samples_per_trace=60, seed=42)
+    # 3. Viterbi match. Trace generation is driver-side python (~33ms/
+    # trace), so synthesize once into a parquet cache that every run at
+    # every parallelism level reads — the two levels consume the
+    # byte-identical input file. Partition count is FIXED across levels
+    # (the way a real dataset's partitioning stays fixed as executors
+    # are added): ~62 traces/partition keeps the per-partition route
+    # cache warm, and >1 wave per level lets greedy scheduling smooth
+    # the binomial skew of hashing trace_ids into partitions.
+    import pandas as pd
+    cache = os.path.join(REPO, "BENCH",
+                         f"_traces_{grid_n}_{n_traces}.parquet")
+    if not os.path.exists(cache):
+        pdf = SS.synth_traces(idx, n_traces=n_traces,
+                              samples_per_trace=60, seed=42)
+        pdf.to_parquet(cache + ".tmp")
+        os.replace(cache + ".tmp", cache)
+    geotags = pd.read_parquet(cache)
+    nparts = max(16, min(64, n_traces // 62))
     samples_df = spark.createDataFrame(geotags).repartition(
-        max(cpus, 8), "trace_id").cache()
+        nparts, "trace_id").cache()
     n_samples = samples_df.count()
-    matched = M.match_traces(samples_df, idx_bc)
+    matched = M.match_traces(samples_df, idx_bc, num_partitions=nparts)
     dt, cs = best_of(lambda: checksum(
         matched.select("trace_id", "seq", "edge_id",
                        F.round("fraction", 9).alias("fr")),
