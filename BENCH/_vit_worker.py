@@ -40,8 +40,13 @@ spark = build_session(app=f"vitw-{cpus}", master=f"local[{cpus}]",
 spark.sparkContext.setLogLevel("ERROR")
 idx = RoadIndex(roads.grid_pdf(24, seed=42), res=16)
 idx_bc = spark.sparkContext.broadcast(idx)
-geotags = pd.read_parquet(os.path.join(REPO, "BENCH",
-                                       "_traces_24_4000.parquet"))
+cache = os.path.join(REPO, "BENCH", "_traces_24_4000.parquet")
+if not os.path.exists(cache):   # one-time, ~130 s; gitignored
+    from barefoot_spark.sources import samples as SS
+    SS.synth_traces(idx, n_traces=4000, samples_per_trace=60,
+                    seed=42).to_parquet(cache + ".tmp")
+    os.replace(cache + ".tmp", cache)
+geotags = pd.read_parquet(cache)
 samples_df = spark.createDataFrame(geotags).repartition(
     nparts, "trace_id").cache()
 n = samples_df.count()
