@@ -68,6 +68,14 @@ def main():
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     nparts = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     pdf_path = os.path.join(REPO, "BENCH", "_traces_24_4000.parquet")
+    if not os.path.exists(pdf_path):   # one-time, ~130 s; gitignored
+        from barefoot_spark import roads
+        from barefoot_spark.index import RoadIndex
+        from barefoot_spark.sources import samples as SS
+        idx = RoadIndex(roads.grid_pdf(24, seed=42), res=16)
+        SS.synth_traces(idx, n_traces=4000, samples_per_trace=60,
+                        seed=42).to_parquet(pdf_path + ".tmp")
+        os.replace(pdf_path + ".tmp", pdf_path)
     tids = pd.read_parquet(pdf_path, columns=["trace_id"])["trace_id"] \
         .drop_duplicates().tolist()
     groups: list[list[str]] = [[] for _ in range(nparts)]
